@@ -1,0 +1,112 @@
+"""Benchmark: eval images/sec/chip on the flagship MapNet (ResNet-34).
+
+The reference publishes no throughput numbers and hard-codes eval batch size 1
+(/root/reference/scripts/eval.py:138-139): each image pays a full Python ->
+framework -> device round trip. The baseline here is therefore *that eval
+style measured on this same chip* (batch-1, non-overlapped, float32 — the
+reference's dtype); the headline metric is the optimized path: batched
+tuples, bfloat16 MXU compute, jit-fused forward. ``vs_baseline`` is the
+speedup of the optimized path over the reference-style path.
+
+Prints exactly one JSON line:
+    {"metric": "eval_images_per_sec_per_chip", "value": ..., "unit":
+     "images/sec", "vs_baseline": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+# persistent compilation cache: first run pays XLA compile (~minutes over the
+# TPU tunnel), subsequent runs start hot
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# 7Scenes input geometry: 480x640 -> shortest-side-256 resize -> 256x341
+H, W, T = 256, 341, 3
+BATCH_TUPLES = 21  # 63 images per launch
+WARMUP, ITERS = 3, 20
+BS1_ITERS = 20
+
+
+def build(dtype):
+    from geomapnet_tpu.models import MapNet, PoseNet, resnet34  # noqa: deferred heavy import
+
+    model = MapNet(
+        posenet=PoseNet(feature_extractor=resnet34(dtype=dtype),
+                        feat_dim=2048, droprate=0.5, dtype=dtype)
+    )
+    x = jnp.zeros((1, T, H, W, 3), dtype)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def forward(params, batch_stats, images):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, images, train=False
+        )
+
+    return model, variables, jax.jit(forward)
+
+
+def time_forward(fwd, variables, batch, iters, warmup):
+    """Chained-launch throughput: each iteration's input depends on the
+    previous output, and completion is forced by one final host readback.
+
+    (On this TPU tunnel neither ``block_until_ready`` nor per-call readback
+    gives clean numbers — the former returns early, the latter adds a large
+    host round-trip per call. Chaining serializes the launches on device and
+    amortizes a single readback over the whole run.)
+    """
+    params, stats = variables["params"], variables["batch_stats"]
+
+    @jax.jit
+    def chained(x, carry):
+        out = fwd(params, stats, x + carry.astype(x.dtype) * 1e-12)
+        return jnp.sum(out.astype(jnp.float32))
+
+    carry = jnp.zeros(())
+    for _ in range(warmup):
+        carry = chained(batch, carry)
+    float(carry)  # flush
+
+    carry = jnp.zeros(())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry = chained(batch, carry)
+    float(carry)  # forces completion of the whole chain
+    dt = time.perf_counter() - t0
+    n_images = batch.shape[0] * batch.shape[1] * iters
+    return n_images / dt
+
+
+def main():
+    rng = jax.random.PRNGKey(42)
+
+    # baseline: reference eval style — float32, batch of ONE tuple per launch
+    _, var32, fwd32 = build(jnp.float32)
+    x1 = jax.random.normal(rng, (1, T, H, W, 3), jnp.float32)
+    baseline = time_forward(fwd32, var32, x1, BS1_ITERS, WARMUP)
+
+    # optimized: bfloat16, large batched launch
+    _, var16, fwd16 = build(jnp.bfloat16)
+    xb = jax.random.normal(rng, (BATCH_TUPLES, T, H, W, 3), jnp.bfloat16)
+    optimized = time_forward(fwd16, var16, xb, ITERS, WARMUP)
+
+    print(json.dumps({
+        "metric": "eval_images_per_sec_per_chip",
+        "value": round(optimized, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(optimized / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,204 @@
+"""Shared experiment assembly: model, criterion, datasets from config.
+
+Factored out of the train/eval CLIs (the reference duplicates this wiring in
+scripts/train.py and scripts/eval.py). Supported datasets:
+
+- ``7Scenes`` / ``RobotCar``: disk layouts identical to the reference;
+- ``synth``: the in-memory synthetic scene (tests/benchmarks — this
+  environment has no real image data).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import (
+    MF,
+    MFOnline,
+    ImageTransform,
+    Normalize,
+    SyntheticScene,
+    std_from_stats,
+    vos_logq_fc_np,
+    vos_logq_np,
+    vos_simple_np,
+)
+from ..losses import MapNetCriterion, MapNetOnlineCriterion, PoseNetCriterion
+from ..models import MapNet, PoseNet, load_npz, merge_variables, resnet34
+from .config import ExperimentConfig
+
+__all__ = [
+    "build_model",
+    "build_criteria",
+    "build_transform",
+    "build_frame_dataset",
+    "build_datasets",
+    "experiment_name",
+]
+
+
+def build_model(
+    model_name: str,
+    config: ExperimentConfig,
+    dtype=jnp.float32,
+) -> tuple:
+    """Returns (flax module, is_tuple_model)."""
+    posenet = PoseNet(
+        feature_extractor=resnet34(dtype=dtype),
+        droprate=config.dropout,
+        filter_nans=(model_name == "mapnet++"),
+        dtype=dtype,
+    )
+    if model_name == "posenet":
+        return posenet, False
+    if model_name.startswith("mapnet"):
+        return MapNet(posenet=posenet), True
+    raise ValueError(f"unknown model {model_name}")
+
+
+def build_criteria(model_name: str, config: ExperimentConfig,
+                   learn_beta: bool, learn_gamma: bool):
+    """Returns (train_criterion, val_criterion) mirroring
+    /root/reference/scripts/train.py:86-101 (sax/srx start at 0; beta/gamma
+    seed saq/srq)."""
+    if model_name == "posenet":
+        return (
+            PoseNetCriterion(sax=0.0, saq=config.beta, learn_beta=learn_beta),
+            PoseNetCriterion(),
+        )
+    kwargs = dict(
+        sax=0.0, saq=config.beta, srx=0.0, srq=config.gamma,
+        learn_beta=learn_beta, learn_gamma=learn_gamma,
+    )
+    if model_name == "mapnet++":
+        gps = config.vo_lib == "gps"
+        return (
+            MapNetOnlineCriterion(gps_mode=gps, **kwargs),
+            MapNetOnlineCriterion(gps_mode=gps),
+        )
+    if model_name == "mapnet":
+        return MapNetCriterion(**kwargs), MapNetCriterion()
+    raise ValueError(f"unknown model {model_name}")
+
+
+def build_transform(dataset: str, scene: str, config: ExperimentConfig,
+                    asset_root: str = "data", train: bool = True,
+                    seed: int = 7) -> ImageTransform:
+    """Resize(256) [+ColorJitter] + Normalize(mean, sqrt(var)) pipeline
+    (/root/reference/scripts/train.py:114-128)."""
+    if dataset == "synth":
+        return ImageTransform(resize=None, normalize=None)
+    stats = np.loadtxt(Path(asset_root) / dataset / scene / "stats.txt")
+    mean, std = std_from_stats(stats)
+    return ImageTransform(
+        resize=256,
+        normalize=Normalize(mean, std),
+        color_jitter_strength=config.color_jitter if train else 0.0,
+        rng=np.random.RandomState(seed),
+    )
+
+
+def build_frame_dataset(
+    dataset: str,
+    scene: str,
+    data_path: str,
+    train: bool,
+    config: ExperimentConfig,
+    transform=None,
+    real: bool = False,
+    skip_images: bool = False,
+    asset_root: str = "data",
+    vo_lib: str | None = None,
+):
+    """Construct one frame dataset by name."""
+    if dataset == "synth":
+        return SyntheticScene(
+            n_frames=64, height=64, width=96, train=train, real=real,
+            skip_images=skip_images, seed=config.seed,
+        )
+    if dataset == "7Scenes":
+        from ..data.sevenscenes import SevenScenes
+
+        return SevenScenes(
+            scene=scene, data_path=data_path, train=train,
+            transform=transform, seed=config.seed, real=real,
+            skip_images=skip_images, vo_lib=vo_lib or config.vo_lib,
+            asset_dir=str(Path(asset_root) / "7Scenes"),
+        )
+    if dataset == "RobotCar":
+        from ..data.robotcar import RobotCar
+
+        return RobotCar(
+            scene=scene, data_path=data_path, train=train,
+            transform=transform, seed=config.seed, real=real,
+            skip_images=skip_images, vo_lib=vo_lib or "stereo",
+            asset_dir=str(Path(asset_root) / "RobotCar"),
+        )
+    raise ValueError(f"unknown dataset {dataset}")
+
+
+def build_datasets(
+    model_name: str,
+    dataset: str,
+    scene: str,
+    data_path: str,
+    config: ExperimentConfig,
+    asset_root: str = "data",
+):
+    """(train_set, val_set) for a model family, mirroring
+    /root/reference/scripts/train.py:131-156."""
+    tf_train = build_transform(dataset, scene, config, asset_root, train=True,
+                               seed=config.seed)
+    tf_val = build_transform(dataset, scene, config, asset_root, train=False,
+                             seed=config.seed)
+
+    def frames(train, transform, real=False, skip_images=False, vo_lib=None):
+        return build_frame_dataset(
+            dataset, scene, data_path, train, config, transform=transform,
+            real=real, skip_images=skip_images, asset_root=asset_root,
+            vo_lib=vo_lib,
+        )
+
+    if model_name == "posenet":
+        return frames(True, tf_train), frames(False, tf_val)
+
+    mf_kwargs = dict(
+        steps=config.steps, skip=config.skip,
+        variable_skip=config.variable_skip, seed=config.seed,
+    )
+    if model_name == "mapnet":
+        train_set = MF(frames(True, tf_train, real=config.real), **mf_kwargs)
+        val_set = MF(frames(False, tf_val, real=config.real), **mf_kwargs)
+        return train_set, val_set
+
+    if model_name == "mapnet++":
+        gps = config.vo_lib == "gps"
+        train_mf = MF(frames(True, tf_train), **mf_kwargs)
+        unlab = frames(False, tf_train, real=True, vo_lib=config.vo_lib)
+        gt_for_unlab = (
+            None if gps else frames(False, tf_val, skip_images=True)
+        )
+        val_mf = MF(
+            unlab, include_vos=not gps, real=not gps,
+            no_duplicates=True, gt_dataset=gt_for_unlab,
+            vo_func=vos_logq_np, **mf_kwargs,
+        )
+        return MFOnline(train_mf, val_mf, gps_mode=gps), None
+
+    raise ValueError(f"unknown model {model_name}")
+
+
+def experiment_name(dataset, scene, model, config_file, learn_beta,
+                    learn_gamma, suffix="") -> str:
+    """`{dataset}_{scene}_{model}_{config}[_learn_beta][_learn_gamma]{suffix}`
+    (/root/reference/scripts/train.py:159-167)."""
+    config_name = Path(config_file).stem
+    name = f"{dataset}_{scene}_{model}_{config_name}"
+    if learn_beta:
+        name += "_learn_beta"
+    if learn_gamma:
+        name += "_learn_gamma"
+    return name + suffix

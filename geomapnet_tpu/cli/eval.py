@@ -1,0 +1,330 @@
+"""Evaluation CLI: batched inference, optional PGO, median/mean pose errors.
+
+Reference parity: /root/reference/scripts/eval.py — same flags, same metric
+definitions (per-frame L2 translation error + quaternion angular error,
+median and mean reported), same middle-frame-of-tuple selection and
+translation un-normalization via ``pose_stats.txt``.
+
+TPU-native differences (the performance story):
+- the reference hard-codes ``batch_size = 1`` (eval.py:138-139) and runs one
+  host-side scipy PGO per sample; here tuples are batched (``--batch_size``,
+  default 64), the forward is one jit'd launch per batch, and PGO runs as a
+  vmapped Gauss-Newton over the whole batch on device;
+- trajectory plots are saved headlessly (Agg) when ``--output_dir`` is given.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import MF, Loader, vos_logq_fc_np, vos_logq_np
+from ..geometry import qexp_np, quaternion_angular_error, translation_error
+from ..models import load_npz, merge_variables
+from ..pgo import optimize_poses_batch
+from ..train.checkpoint import restore_checkpoint, load_model_params
+from ..train.state import create_train_state, make_eval_step
+from ..train.optim import make_optimizer
+from .builders import (
+    build_criteria,
+    build_frame_dataset,
+    build_model,
+    build_transform,
+)
+from .config import parse_ini
+
+__all__ = ["evaluate", "main"]
+
+
+def evaluate(
+    model,
+    state,
+    dataset,
+    batch_size: int = 64,
+    pose_stats: tuple[np.ndarray, np.ndarray] | None = None,
+    pose_graph: bool = False,
+    fc_vos: bool = False,
+    pgo_weights: dict | None = None,
+    progress: bool = True,
+) -> dict:
+    """Run batched evaluation over an MF (or plain frame) dataset.
+
+    Returns {"pred_poses", "targ_poses", "t_err", "q_err", "median_t",
+    "median_q", "mean_t", "mean_q", "images_per_sec"}.
+    """
+    is_tuple = isinstance(dataset, MF)
+    L = len(dataset.dset) if is_tuple else len(dataset)
+    steps = dataset.steps if is_tuple else 1
+
+    pose_m, pose_s = (
+        pose_stats if pose_stats is not None else (np.zeros(3), np.ones(3))
+    )
+
+    eval_step = jax.jit(make_eval_step(model, None))
+
+    if not is_tuple:
+        # wrap plain frame datasets so the same loader/batch path applies
+        class _Single:
+            def __init__(self, ds):
+                self.ds = ds
+
+            def __len__(self):
+                return len(self.ds)
+
+            def __getitem__(self, i):
+                img, pose = self.ds[i]
+                return (
+                    None if img is None else img[None],
+                    np.asarray(pose, np.float32)[None],
+                )
+
+        dataset = _Single(dataset)
+
+    loader = Loader(dataset, batch_size, shuffle=False, drop_last=False)
+
+    pred_poses = np.zeros((L, 7))
+    targ_poses = np.zeros((L, 7))
+    n_images = 0
+    t_start = time.time()
+    base = 0
+    for batch_idx, (imgs, poses, pad) in enumerate(loader):
+        valid = imgs.shape[0] - pad
+        if progress and batch_idx % 10 == 0:
+            print(f"Batch {batch_idx} / {len(loader)}")
+
+        _, output = eval_step(state, jnp.asarray(imgs))
+        output = np.asarray(output, np.float64)  # (B, T, 6)
+        if output.ndim == 2:
+            output = output[:, None, :]
+        targ = np.asarray(poses, np.float64)
+        if targ.ndim == 2:
+            targ = targ[:, None, :]
+        n_images += valid * steps
+
+        # log-q -> unit quaternion
+        out7 = np.concatenate(
+            [output[..., :3], qexp_np(output[..., 3:])], axis=-1
+        )
+        targ_abs = targ[:, :steps]
+        targ7 = np.concatenate(
+            [targ_abs[..., :3], qexp_np(targ_abs[..., 3:])], axis=-1
+        )
+
+        if pose_graph:
+            # targets carry [steps abs | VOs]; optimize each tuple on device
+            vos_log = targ[:, steps:]
+            vos7 = np.concatenate(
+                [vos_log[..., :3], qexp_np(vos_log[..., 3:])], axis=-1
+            )
+            out7 = np.asarray(
+                optimize_poses_batch(
+                    jnp.asarray(out7, jnp.float32),
+                    jnp.asarray(vos7, jnp.float32),
+                    fc=fc_vos,
+                    **(pgo_weights or {}),
+                ),
+                np.float64,
+            )
+
+        # un-normalize translations
+        out7[..., :3] = out7[..., :3] * pose_s + pose_m
+        targ7[..., :3] = targ7[..., :3] * pose_s + pose_m
+
+        # middle-frame selection into the global arrays
+        for b in range(valid):
+            sample_idx = base + b
+            if is_tuple:
+                idx = dataset.get_indices(sample_idx)
+                idx = idx[len(idx) // 2]
+            else:
+                idx = sample_idx
+            pred_poses[idx] = out7[b, steps // 2]
+            targ_poses[idx] = targ7[b, steps // 2]
+        base += valid
+
+    elapsed = time.time() - t_start
+    t_err = translation_error(pred_poses[:, :3], targ_poses[:, :3])
+    q_err = quaternion_angular_error(pred_poses[:, 3:], targ_poses[:, 3:])
+    return {
+        "pred_poses": pred_poses,
+        "targ_poses": targ_poses,
+        "t_err": t_err,
+        "q_err": q_err,
+        "median_t": float(np.median(t_err)),
+        "mean_t": float(np.mean(t_err)),
+        "median_q": float(np.median(q_err)),
+        "mean_q": float(np.mean(q_err)),
+        "images_per_sec": n_images / max(elapsed, 1e-9),
+    }
+
+
+def plot_trajectories(pred_poses, targ_poses, dataset_name, path):
+    """Save the reference's 3D (7Scenes) / 2D (RobotCar) trajectory figure
+    (/root/reference/scripts/eval.py:208-231)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure()
+    three_d = dataset_name == "7Scenes"
+    ax = fig.add_subplot(111, projection="3d" if three_d else None)
+    plt.subplots_adjust(left=0, bottom=0, right=1, top=1)
+    ss = max(1, len(pred_poses) // 1000)
+    x = np.vstack((pred_poses[::ss, 0].T, targ_poses[::ss, 0].T))
+    y = np.vstack((pred_poses[::ss, 1].T, targ_poses[::ss, 1].T))
+    if three_d:
+        z = np.vstack((pred_poses[::ss, 2].T, targ_poses[::ss, 2].T))
+        for xx, yy, zz in zip(x.T, y.T, z.T):
+            ax.plot(xx, yy, zs=zz, c="b")
+        ax.scatter(x[0, :], y[0, :], zs=z[0, :], c="r", depthshade=0)
+        ax.scatter(x[1, :], y[1, :], zs=z[1, :], c="g", depthshade=0)
+        ax.view_init(azim=119, elev=13)
+    else:
+        ax.plot(x, y, c="b")
+        ax.scatter(x[0, :], y[0, :], c="r")
+        ax.scatter(x[1, :], y[1, :], c="g")
+    fig.savefig(path)
+    plt.close(fig)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Evaluation script for PoseNet and MapNet variants"
+    )
+    parser.add_argument("--dataset", type=str, required=True,
+                        choices=("7Scenes", "RobotCar", "synth"))
+    parser.add_argument("--scene", type=str, default="synth")
+    parser.add_argument("--weights", type=str, required=True,
+                        help="orbax checkpoint dir or converted npz")
+    parser.add_argument("--model", required=True,
+                        choices=("posenet", "mapnet", "mapnet++"))
+    parser.add_argument("--device", type=str, default="0")
+    parser.add_argument("--config_file", type=str, required=True)
+    parser.add_argument("--val", action="store_true")
+    parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--pose_graph", action="store_true")
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--data_path", type=str, default="data/deepslam_data")
+    parser.add_argument("--asset_root", type=str, default="data")
+    parser.add_argument("--bf16", action="store_true")
+    args = parser.parse_args(argv)
+
+    config = parse_ini(args.config_file)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    fc_vos = args.dataset == "RobotCar"
+
+    use_tuples = args.model.startswith("mapnet") or args.pose_graph
+    model_kind = "mapnet" if use_tuples else "posenet"
+    model, _ = build_model(model_kind, config, dtype=dtype)
+    criterion, _ = build_criteria(model_kind, config, False, False)
+
+    # template state for checkpoint restore
+    T = config.steps if use_tuples else 1
+    sample = jnp.zeros(
+        (1, T, 64, 64, 3) if use_tuples else (1, 64, 64, 3), dtype
+    )
+    tx = make_optimizer(config.opt, config.lr)
+    state = create_train_state(model, criterion, tx, jax.random.PRNGKey(0), sample)
+
+    weights = Path(args.weights)
+    if weights.suffix == ".npz":
+        imported = load_npz(str(weights))
+        variables = {"params": state.params["model"],
+                     "batch_stats": state.batch_stats}
+        if "posenet" in variables["params"]:
+            inner = {k: v["posenet"] for k, v in variables.items()}
+            merged = merge_variables(inner, imported)
+            variables = {k: {"posenet": merged[k]} for k in variables}
+        else:
+            variables = merge_variables(variables, imported)
+        params = dict(state.params)
+        params["model"] = variables["params"]
+        state = state.replace(params=params, batch_stats=variables["batch_stats"])
+    else:
+        state = load_model_params(weights, state)
+    print(f"Loaded weights from {weights}")
+
+    train = not args.val
+    print(f"Running {args.model} on {'TRAIN' if train else 'VAL'} data")
+
+    data_path = (
+        args.data_path if args.dataset == "synth"
+        else f"{args.data_path}/{args.dataset}"
+    )
+    tf = build_transform(args.dataset, args.scene, config, args.asset_root,
+                         train=False, seed=config.seed)
+    frames = build_frame_dataset(
+        args.dataset, args.scene, data_path, train, config, transform=tf,
+        real=config.real if use_tuples else False,
+        asset_root=args.asset_root,
+        vo_lib=config.vo_lib if args.pose_graph else None,
+    )
+    if use_tuples:
+        gt_frames = None
+        if args.pose_graph and config.real:
+            gt_frames = build_frame_dataset(
+                args.dataset, args.scene, data_path, train, config,
+                skip_images=True, asset_root=args.asset_root,
+            )
+        dataset = MF(
+            frames, steps=config.steps, skip=config.skip,
+            variable_skip=config.variable_skip,
+            include_vos=args.pose_graph, real=config.real and args.pose_graph,
+            gt_dataset=gt_frames,
+            vo_func=vos_logq_fc_np if fc_vos else vos_logq_np,
+            seed=config.seed,
+        )
+    else:
+        dataset = frames
+
+    if args.dataset == "synth":
+        pose_stats = (np.zeros(3), np.ones(3))
+    else:
+        pose_stats = tuple(
+            np.loadtxt(Path(args.asset_root) / args.dataset / args.scene
+                       / "pose_stats.txt")
+        )
+
+    pgo_weights = dict(
+        sax=config.s_abs_trans, saq=config.s_abs_rot,
+        srx=config.s_rel_trans, srq=config.s_rel_rot,
+    ) if args.pose_graph else None
+
+    results = evaluate(
+        model, state, dataset, batch_size=args.batch_size,
+        pose_stats=pose_stats, pose_graph=args.pose_graph, fc_vos=fc_vos,
+        pgo_weights=pgo_weights,
+    )
+
+    print(
+        "Error in translation: median {:3.2f} m,  mean {:3.2f} m\n"
+        "Error in rotation: median {:3.2f} degrees, mean {:3.2f} degree".format(
+            results["median_t"], results["mean_t"],
+            results["median_q"], results["mean_q"],
+        )
+    )
+    print(f"Eval throughput: {results['images_per_sec']:.1f} images/sec")
+
+    if args.output_dir:
+        out = Path(args.output_dir).expanduser()
+        out.mkdir(parents=True, exist_ok=True)
+        model_name = args.model + ("_pgo" if args.pose_graph else "")
+        name = f"{args.dataset}_{args.scene}_{model_name}"
+        plot_trajectories(results["pred_poses"], results["targ_poses"],
+                          args.dataset, out / f"{name}.png")
+        with open(out / f"{name}.pkl", "wb") as f:
+            pickle.dump({"targ_poses": results["targ_poses"],
+                         "pred_poses": results["pred_poses"]}, f)
+        print(f"{out / name}.png / .pkl saved")
+    return results
+
+
+if __name__ == "__main__":
+    main()

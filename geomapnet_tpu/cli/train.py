@@ -1,0 +1,105 @@
+"""Training CLI for PoseNet and MapNet variants.
+
+Reference parity: /root/reference/scripts/train.py — same flags, same .ini
+semantics, same experiment naming. Additions: ``--dataset synth`` (in-memory
+synthetic scene), ``--pretrained_npz`` (import converted ImageNet/reference
+weights, since torchvision downloads are unavailable on a hermetic TPU host),
+``--bf16`` (bfloat16 MXU compute), ``--no_mesh`` (disable multi-device
+sharding).
+
+Usage::
+
+    python -m geomapnet_tpu.cli.train --dataset 7Scenes --scene heads \
+        --config_file configs/mapnet.ini --model mapnet \
+        --learn_beta --learn_gamma
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+from ..models import load_npz, merge_variables
+from ..train.loop import Trainer
+from .builders import build_criteria, build_datasets, build_model, experiment_name
+from .config import parse_ini
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Training script for PoseNet and MapNet variants"
+    )
+    parser.add_argument("--dataset", type=str, required=True,
+                        choices=("7Scenes", "RobotCar", "synth"))
+    parser.add_argument("--scene", type=str, default="synth")
+    parser.add_argument("--config_file", type=str, required=True)
+    parser.add_argument("--model", required=True,
+                        choices=("posenet", "mapnet", "mapnet++"))
+    parser.add_argument("--device", type=str, default="0",
+                        help="unused on TPU (kept for CLI parity)")
+    parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--learn_beta", action="store_true")
+    parser.add_argument("--learn_gamma", action="store_true")
+    parser.add_argument("--resume_optim", action="store_true")
+    parser.add_argument("--suffix", type=str, default="")
+    parser.add_argument("--data_path", type=str, default="data/deepslam_data")
+    parser.add_argument("--asset_root", type=str, default="data")
+    parser.add_argument("--pretrained_npz", type=str, default=None,
+                        help="npz of converted torchvision/reference weights")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute dtype")
+    parser.add_argument("--no_mesh", action="store_true")
+    args = parser.parse_args(argv)
+
+    config = parse_ini(args.config_file)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+
+    model, _ = build_model(args.model, config, dtype=dtype)
+    train_criterion, val_criterion = build_criteria(
+        args.model, config, args.learn_beta, args.learn_gamma
+    )
+    data_path = (
+        args.data_path if args.dataset == "synth"
+        else f"{args.data_path}/{args.dataset}"
+    )
+    train_set, val_set = build_datasets(
+        args.model, args.dataset, args.scene, data_path, config,
+        asset_root=args.asset_root,
+    )
+
+    name = experiment_name(
+        args.dataset, args.scene, args.model, args.config_file,
+        args.learn_beta, args.learn_gamma, args.suffix,
+    )
+    trainer = Trainer(
+        model, train_criterion, config, name, train_set, val_set,
+        val_criterion=val_criterion, checkpoint=args.checkpoint,
+        resume_optim=args.resume_optim, use_mesh=not args.no_mesh,
+    )
+
+    if args.pretrained_npz:
+        imported = load_npz(args.pretrained_npz)
+        variables = {
+            "params": trainer.state.params["model"],
+            "batch_stats": trainer.state.batch_stats,
+        }
+        # MapNet nests the PoseNet tree under 'posenet'
+        if "posenet" in variables["params"]:
+            inner = {k: v["posenet"] for k, v in variables.items()}
+            merged = merge_variables(inner, imported)
+            variables = {k: {"posenet": merged[k]} for k in variables}
+        else:
+            variables = merge_variables(variables, imported)
+        params = dict(trainer.state.params)
+        params["model"] = variables["params"]
+        trainer.state = trainer.state.replace(
+            params=params, batch_stats=variables["batch_stats"]
+        )
+        print(f"Imported pretrained weights from {args.pretrained_npz}")
+
+    trainer.train_val()
+
+
+if __name__ == "__main__":
+    main()

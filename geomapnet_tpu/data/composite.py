@@ -1,0 +1,138 @@
+"""Composite datasets: multi-frame tuples (MF), online batches, pose pairs.
+
+Reference parity: /root/reference/dataset_loaders/composite.py. Datasets here
+are plain Python objects yielding numpy arrays (images already transformed to
+float32 HWC); batching/collation lives in :mod:`geomapnet_tpu.data.loader`.
+
+A frame dataset must provide:
+- ``__len__``
+- ``poses``: (N, 6) float array of [t, logq] targets
+- ``get_image(i)`` -> float32 (H, W, 3) array or None (corrupt frame)
+- ``gt_idx``: (N,) mapping into the matching GT dataset (real/VO datasets)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+from .tuples import TupleSampler
+from .vo_np import vos_logq_np, vos_simple_np
+
+__all__ = ["MF", "MFOnline", "OnlyPoses"]
+
+
+class MF:
+    """Multi-frame tuple dataset: images (T, H, W, 3) + poses (T, 6).
+
+    With ``include_vos`` the VOs are appended to the pose block, and with
+    ``real`` the absolute poses are swapped for GT via ``gt_idx``
+    (/root/reference/dataset_loaders/composite.py:76-97).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        steps: int = 2,
+        skip: int = 1,
+        variable_skip: bool = False,
+        include_vos: bool = False,
+        no_duplicates: bool = False,
+        real: bool = False,
+        gt_dataset=None,
+        vo_func: Callable = vos_simple_np,
+        seed: int = 7,
+    ):
+        self.dset = dataset
+        self.gt_dset = gt_dataset
+        self.include_vos = include_vos
+        self.real = real
+        self.vo_func = vo_func
+        self.rng = np.random.RandomState(seed)
+        self.sampler = TupleSampler(
+            dataset_len=len(dataset),
+            steps=steps,
+            skip=skip,
+            variable_skip=variable_skip,
+            no_duplicates=no_duplicates,
+        )
+        if include_vos and real and gt_dataset is None:
+            raise ValueError("real VO tuples need a gt_dataset for abs poses")
+
+    @property
+    def steps(self) -> int:
+        return self.sampler.steps
+
+    def get_indices(self, index: int) -> np.ndarray:
+        return self.sampler.indices(index, self.rng)
+
+    def __getitem__(self, index: int):
+        idx = self.get_indices(index)
+        imgs = [self.dset.get_image(i) for i in idx]
+        poses = self.dset.poses[idx].astype(np.float32)
+        if self.include_vos:
+            vos = self.vo_func(poses).astype(np.float32)
+            if self.real:  # absolute poses must come from GT
+                gt = self.dset.gt_idx[idx]
+                poses = self.gt_dset.poses[gt].astype(np.float32)
+            poses = np.concatenate([poses, vos], axis=0)
+        imgs = None if any(im is None for im in imgs) else np.stack(imgs)
+        return imgs, poses
+
+    def __len__(self) -> int:
+        return len(self.sampler)
+
+
+class MFOnline:
+    """MapNet++ semi-supervised batch: labeled tuple ++ unlabeled VO tuple.
+
+    Concatenates a train-split tuple (GT absolute poses) with a test-split
+    tuple whose targets are measured VOs (or aligned GPS absolute positions in
+    ``gps_mode``). Reference parity:
+    /root/reference/dataset_loaders/composite.py:105-129.
+
+    :param train_mf: MF over the labeled train split (include_vos=False)
+    :param val_mf: MF over the unlabeled split, constructed with
+        ``real=True, include_vos=not gps_mode, no_duplicates=True,
+        vo_func=vos_logq_np``
+    """
+
+    def __init__(self, train_mf: MF, val_mf: MF, gps_mode: bool = False):
+        self.train_set = train_mf
+        self.val_set = val_mf
+        self.gps_mode = gps_mode
+
+    def __getitem__(self, index: int):
+        t_imgs, t_poses = self.train_set[index % len(self.train_set)]
+        v_imgs, v_poses = self.val_set[index % len(self.val_set)]
+        if not self.gps_mode:
+            v_poses = v_poses[self.val_set.steps:]  # keep only the VO block
+        if t_imgs is None or v_imgs is None:
+            return None, None
+        return (
+            np.concatenate([t_imgs, v_imgs], axis=0),
+            np.concatenate([t_poses, v_poses], axis=0),
+        )
+
+    def __len__(self) -> int:
+        return len(self.val_set)
+
+
+class OnlyPoses:
+    """Aligned (real, GT) pose pairs for diagnostics/plotting.
+
+    Reference parity: /root/reference/dataset_loaders/composite.py:131-159.
+    """
+
+    def __init__(self, real_dataset, gt_dataset):
+        self.real_dset = real_dataset
+        self.gt_dset = gt_dataset
+
+    def __getitem__(self, index: int):
+        real = self.real_dset.poses[index].astype(np.float32)
+        gt = self.gt_dset.poses[self.real_dset.gt_idx[index]].astype(np.float32)
+        return real, gt
+
+    def __len__(self) -> int:
+        return len(self.real_dset)

@@ -1,0 +1,127 @@
+"""Flax ResNet trunk (NHWC, MXU-friendly) for the pose regressors.
+
+Re-implements the torchvision ResNet-34 topology the reference uses as its
+feature extractor (/root/reference/scripts/train.py:76,
+/root/reference/models/posenet.py:43-46) as an idiomatic Flax module:
+
+- NHWC layout (TPU-native; torch uses NCHW),
+- parameters stored float32, compute in a configurable ``dtype`` (bfloat16 by
+  default on TPU) so convolutions hit the MXU at full rate,
+- BatchNorm statistics kept in float32 regardless of compute dtype,
+- module names mirror the torchvision state-dict layout (``conv1``, ``bn1``,
+  ``layer1_0`` ...) so pretrained torchvision / reference checkpoints can be
+  imported mechanically (:mod:`geomapnet_tpu.models.torch_import`).
+
+The trunk ends at the global-average-pooled 512-d feature (the reference
+replaces ``avgpool`` with adaptive pooling and swaps the final fc; our trunk
+simply does not own an fc — the PoseNet head does).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["ResNet", "resnet18", "resnet34"]
+
+# matches torch.nn.init.kaiming_normal_ defaults (fan_in, gain sqrt(2)) used
+# by the reference's re-init path (/root/reference/models/posenet.py:59-63)
+kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs with a residual connection (torchvision BasicBlock)."""
+
+    filters: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        conv = partial(
+            nn.Conv,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=kaiming_normal,
+        )
+        norm = partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )
+
+        identity = x
+        y = conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                 padding=[(1, 1), (1, 1)], name="conv1")(x)
+        y = norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = conv(self.filters, (3, 3), strides=(1, 1),
+                 padding=[(1, 1), (1, 1)], name="conv2")(y)
+        y = norm(name="bn2")(y)
+
+        if self.stride != 1 or x.shape[-1] != self.filters:
+            identity = conv(self.filters, (1, 1),
+                            strides=(self.stride, self.stride),
+                            name="downsample_conv")(x)
+            identity = norm(name="downsample_bn")(identity)
+
+        return nn.relu(y + identity.astype(y.dtype))
+
+
+class ResNet(nn.Module):
+    """ResNet trunk ending at the pooled feature vector.
+
+    :param stage_sizes: blocks per stage, e.g. (3, 4, 6, 3) for ResNet-34
+    :param dtype: compute dtype (bfloat16 recommended on TPU)
+    """
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """(N, H, W, 3) images -> (N, 512) pooled features."""
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=kaiming_normal, name="conv1",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, param_dtype=jnp.float32, name="bn1",
+        )(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x = x.astype(self.dtype)
+
+        for stage, n_blocks in enumerate(self.stage_sizes):
+            filters = 64 * (2 ** stage)
+            for block in range(n_blocks):
+                stride = 2 if (stage > 0 and block == 0) else 1
+                x = BasicBlock(
+                    filters=filters, stride=stride, dtype=self.dtype,
+                    name=f"layer{stage + 1}_{block}",
+                )(x, train=train)
+
+        # global average pool (the reference swaps in AdaptiveAvgPool2d(1),
+        # /root/reference/models/posenet.py:44)
+        x = jnp.mean(x, axis=(1, 2))
+        return x
+
+
+def resnet34(dtype: Any = jnp.float32, name: str | None = None) -> ResNet:
+    """ResNet-34 trunk — the reference's feature extractor."""
+    return ResNet(stage_sizes=(3, 4, 6, 3), dtype=dtype, name=name)
+
+
+def resnet18(dtype: Any = jnp.float32, name: str | None = None) -> ResNet:
+    """ResNet-18 trunk (lighter option for ablations/tests)."""
+    return ResNet(stage_sizes=(2, 2, 2, 2), dtype=dtype, name=name)

@@ -1,0 +1,187 @@
+"""Pose-graph optimization (PGO): jittable, vmappable Gauss-Newton on SE(3).
+
+Fuses network-predicted absolute poses with measured relative poses (VOs) at
+inference — the "MapNet+PGO" configuration. Reference parity:
+``PoseGraph`` / ``PoseGraphFC`` / ``optimize_poses``
+(/root/reference/common/pose_utils.py:458-804), which run scipy Gauss-Newton
+per sample on the host with hand-derived Jacobians.
+
+TPU-native design:
+
+- The reference's analytic Jacobian is *exactly* the ``jax.jacfwd`` of its
+  residual vector with respect to the manifold increment at zero — including
+  its deliberate omission of the pairwise translation residual's dependence on
+  the base rotation (commented out at pose_utils.py:491-494), which we express
+  with ``stop_gradient``. So the Jacobian is derived by autodiff, matches the
+  reference's semantics, and stays correct if residuals change.
+- The information-matrix Cholesky factors ``chol(I/s)`` are scalar multiples
+  of identity, so constraint weighting reduces to four scalars
+  ``1/sqrt(s)`` applied to residual blocks.
+- One Gauss-Newton iteration = residuals + jacfwd + a tiny dense Cholesky
+  solve (<= 6N x 6N, N = tuple size, typically 7 -> 42x42); ten iterations run
+  in a ``lax.fori_loop``; the whole optimizer jits and ``vmap``s over a batch
+  of tuples — the entire trajectory's PGO executes as one device launch
+  instead of the reference's per-sample host solver.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.quaternion import qinv, qmult_raw, rotate_vec_by_q
+from ..geometry.rotations import qinv_np, qmult_np
+from ..geometry.vo import pair_indices_fc
+
+__all__ = [
+    "gauss_newton_pgo",
+    "optimize_poses",
+    "optimize_poses_batch",
+    "chain_pairs",
+]
+
+
+def chain_pairs(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Consecutive (i, i+1) constraint pairs for an n-pose chain."""
+    i = np.arange(n - 1)
+    return i, i + 1
+
+
+def _qexp_gn(x: jnp.ndarray) -> jnp.ndarray:
+    """Exp map with an autodiff-safe norm so jacfwd at x=0 yields [[0],[I]]
+    (the reference's ``m_rot`` structure, pose_utils.py:445-456)."""
+    n = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-24)
+    return jnp.concatenate([jnp.cos(n), jnp.sin(n) / n * x], axis=-1)
+
+
+def _residuals(x, z, poses, vos, pairs, weights):
+    """Weighted residual vector at manifold increment ``x``.
+
+    Row order matches the reference (unary [t(3), q(4)] per pose, then
+    pairwise [t(3), q(4)] per constraint) — irrelevant for H = J^T J but kept
+    for debuggability.
+    """
+    wax, waq, wrx, wrq = weights
+    i, j = pairs
+
+    t = z[:, :3] + x[:, :3]
+    q = qmult_raw(z[:, 3:], _qexp_gn(x[:, 3:]))
+
+    ru_t = wax * (t - poses[:, :3])
+    ru_q = waq * (q - poses[:, 3:])
+
+    # the reference drops d(rt)/d(q_i) (pose_utils.py:491-494): stop_gradient
+    # reproduces that truncated Gauss-Newton exactly
+    qi_frozen = jax.lax.stop_gradient(q[i])
+    rt = wrx * (rotate_vec_by_q(t[j] - t[i], qinv(qi_frozen)) - vos[:, :3])
+    rq = wrq * (qmult_raw(qinv(q[i]), q[j]) - vos[:, 3:])
+
+    unary = jnp.concatenate([ru_t, ru_q], axis=1).reshape(-1)
+    pairwise = jnp.concatenate([rt, rq], axis=1).reshape(-1)
+    return jnp.concatenate([unary, pairwise])
+
+
+@partial(jax.jit, static_argnames=("n_iters", "fc"))
+def gauss_newton_pgo(
+    poses: jnp.ndarray,
+    vos: jnp.ndarray,
+    sax: float = 1.0,
+    saq: float = 1.0,
+    srx: float = 1.0,
+    srq: float = 1.0,
+    n_iters: int = 10,
+    fc: bool = False,
+) -> jnp.ndarray:
+    """Optimize an N-pose graph. ``poses`` (N, 7), ``vos`` (P, 7) -> (N, 7).
+
+    ``fc=False``: chain constraints (P = N-1, 7Scenes);
+    ``fc=True``: all pairs i<j (P = N(N-1)/2, RobotCar — eval.py:62).
+    """
+    n = poses.shape[0]
+    pairs = pair_indices_fc(n) if fc else chain_pairs(n)
+    pairs = (jnp.asarray(pairs[0]), jnp.asarray(pairs[1]))
+    weights = tuple(
+        1.0 / jnp.sqrt(jnp.asarray(s, jnp.float32)) for s in (sax, saq, srx, srq)
+    )
+    poses = poses.astype(jnp.float32)
+    vos = vos.astype(jnp.float32)
+
+    def body(_, z):
+        x0 = jnp.zeros((n, 6), jnp.float32)
+        r = _residuals(x0, z, poses, vos, pairs, weights)
+        J = jax.jacfwd(_residuals)(x0, z, poses, vos, pairs, weights)
+        J = J.reshape(r.shape[0], n * 6)
+        H = J.T @ J
+        b = J.T @ r
+        chol = jax.scipy.linalg.cho_factor(H)
+        x = jax.scipy.linalg.cho_solve(chol, -b).reshape(n, 6)
+
+        # manifold update (pose_utils.py:550-573): t additive, q right-multiplied
+        # by the exact exponential of the increment
+        t_new = z[:, :3] + x[:, :3]
+        q_new = qmult_raw(z[:, 3:], _qexp_gn(x[:, 3:]))
+        return jnp.concatenate([t_new, q_new], axis=1)
+
+    return jax.lax.fori_loop(0, n_iters, body, poses)
+
+
+def optimize_poses_batch(
+    poses: jnp.ndarray,
+    vos: jnp.ndarray,
+    sax: float = 1.0,
+    saq: float = 1.0,
+    srx: float = 1.0,
+    srq: float = 1.0,
+    n_iters: int = 10,
+    fc: bool = False,
+) -> jnp.ndarray:
+    """vmapped PGO over a batch of tuples: (B, N, 7), (B, P, 7) -> (B, N, 7).
+
+    This is the batched-eval fast path: the reference runs one host-side
+    scipy solve per trajectory window (eval.py:177-182); here every window in
+    the eval set optimizes in parallel on device.
+    """
+    fn = partial(
+        gauss_newton_pgo, sax=sax, saq=saq, srx=srx, srq=srq,
+        n_iters=n_iters, fc=fc,
+    )
+    return jax.vmap(fn)(poses, vos)
+
+
+def optimize_poses(
+    pred_poses: np.ndarray,
+    vos: np.ndarray | None = None,
+    fc_vos: bool = False,
+    target_poses: np.ndarray | None = None,
+    sax: float = 1.0,
+    saq: float = 1.0,
+    srx: float = 1.0,
+    srq: float = 1.0,
+    n_iters: int = 10,
+) -> np.ndarray:
+    """Host-friendly entry point mirroring the reference's ``optimize_poses``
+    (/root/reference/common/pose_utils.py:773-804).
+
+    If ``vos`` is None they are derived from ``target_poses`` as
+    world-frame translation differences + relative quaternions (the
+    reference's fallback, including its world-frame translation convention).
+    """
+    if vos is None:
+        if target_poses is None:
+            raise ValueError("specify either vos or target_poses")
+        t = np.asarray(target_poses)
+        vos = np.concatenate(
+            [
+                t[1:, :3] - t[:-1, :3],
+                qmult_np(qinv_np(t[:-1, 3:]), t[1:, 3:]),
+            ],
+            axis=1,
+        )
+    out = gauss_newton_pgo(
+        jnp.asarray(pred_poses), jnp.asarray(vos),
+        sax=sax, saq=saq, srx=srx, srq=srq, n_iters=n_iters, fc=fc_vos,
+    )
+    return np.asarray(out)

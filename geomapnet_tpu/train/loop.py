@@ -1,0 +1,208 @@
+"""The training loop: epochs, validation, snapshots, metrics.
+
+Reference parity: ``Trainer.train_val`` (/root/reference/common/
+train.py:206-320) — same epoch structure (validate every ``val_freq``,
+snapshot every ``snapshot`` epochs + at the end, per-batch data/batch-time
+meters, ``print_freq`` console lines), rebuilt around the functional core:
+
+- one jit-compiled train step per batch (forward+loss+backward+update fused;
+  the reference dispatches dozens of framework ops per step);
+- batches stream through :class:`geomapnet_tpu.data.Loader` with background
+  prefetch and static shapes;
+- with a :class:`jax.sharding.Mesh` the same loop runs data-parallel — the
+  step is compiled with batch-sharded inputs and XLA all-reduces gradients
+  over ICI;
+- metrics go to stdout (tee'd to ``log.txt``) and structured JSONL
+  (``metrics.jsonl``) instead of visdom.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from ..data.loader import Loader
+from ..parallel.mesh import make_mesh, shard_batch, shard_step
+from ..utils.logger import AverageMeter, MetricsWriter, Tee
+from .checkpoint import load_model_params, restore_checkpoint, save_checkpoint
+from .optim import make_optimizer
+from .state import create_train_state, make_eval_step, make_train_step
+
+__all__ = ["Trainer"]
+
+
+class Trainer:
+    """Drives training of a PoseNet/MapNet-family model.
+
+    :param model: Flax module
+    :param train_criterion / val_criterion: loss callables from
+        :mod:`geomapnet_tpu.losses`
+    :param config: :class:`geomapnet_tpu.cli.config.ExperimentConfig`
+    :param experiment: experiment name (logdir ``logs/<experiment>``)
+    :param train_dataset / val_dataset: indexable (imgs, poses) datasets
+    :param checkpoint: optional checkpoint path to start from
+    :param resume_optim: restore optimizer/epoch too (else weights only)
+    :param use_mesh: shard batches over all available devices
+    """
+
+    def __init__(
+        self,
+        model,
+        train_criterion,
+        config,
+        experiment: str,
+        train_dataset,
+        val_dataset=None,
+        val_criterion=None,
+        checkpoint: str | None = None,
+        resume_optim: bool = False,
+        logdir_root: str = "logs",
+        use_mesh: bool = True,
+    ):
+        self.model = model
+        self.config = config
+        self.experiment = experiment
+        self.train_criterion = train_criterion
+        self.val_criterion = val_criterion or train_criterion
+
+        self.logdir = Path(logdir_root) / experiment
+        self.logdir.mkdir(parents=True, exist_ok=True)
+        self.tee = Tee(self.logdir / "log.txt").install()
+        self.metrics = MetricsWriter(self.logdir / "metrics.jsonl")
+
+        print("---------------------------------------")
+        print(f"Experiment: {experiment}")
+        for k, v in vars(config).items():
+            print(f"{k}: {v}")
+        print(f"Devices: {jax.devices()}")
+        print("---------------------------------------")
+
+        self.train_loader = Loader(
+            train_dataset, config.batch_size, shuffle=config.shuffle,
+            drop_last=True, seed=config.seed,
+        )
+        self.val_loader = (
+            Loader(val_dataset, config.batch_size, shuffle=False,
+                   drop_last=False, seed=config.seed)
+            if (config.do_val and val_dataset is not None) else None
+        )
+
+        self.tx = make_optimizer(
+            config.opt, config.lr, config.weight_decay,
+            steps_per_epoch=max(1, len(self.train_loader)),
+            max_grad_norm=config.max_grad_norm,
+            **config.optim_extras,
+        )
+
+        sample_imgs, _, _ = next(iter(
+            Loader(train_dataset, 1, shuffle=False, drop_last=True)
+        ))
+        self.rng = jax.random.PRNGKey(config.seed)
+        self.state = create_train_state(
+            model, train_criterion, self.tx, self.rng,
+            jax.numpy.asarray(sample_imgs),
+        )
+
+        self.start_epoch = 0
+        if checkpoint:
+            if resume_optim:
+                self.start_epoch, self.state = restore_checkpoint(
+                    checkpoint, self.state
+                )
+                print(f"Resumed {checkpoint} at epoch {self.start_epoch}")
+            else:
+                self.state = load_model_params(checkpoint, self.state)
+                print(f"Loaded model weights from {checkpoint}")
+
+        self.mesh = make_mesh() if use_mesh else None
+        train_step = make_train_step(model, train_criterion, self.tx)
+        eval_step = make_eval_step(model, self.val_criterion)
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            self._train_step = shard_step(
+                train_step, self.mesh, n_batch_args=2, n_replicated_args=1,
+                donate_state=True,
+            )
+            self._eval_step = shard_step(
+                eval_step, self.mesh, n_batch_args=2, donate_state=False,
+            )
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0,))
+            self._eval_step = jax.jit(eval_step)
+
+    def _put(self, imgs, poses):
+        batch = (jax.numpy.asarray(imgs), jax.numpy.asarray(poses))
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            batch = shard_batch(batch, self.mesh)
+        return batch
+
+    def validate(self, epoch: int) -> float:
+        loss_meter = AverageMeter()
+        batch_time = AverageMeter()
+        end = time.time()
+        for batch_idx, (imgs, poses, pad) in enumerate(self.val_loader):
+            imgs, poses = self._put(imgs, poses)
+            loss, _ = self._eval_step(self.state, imgs, poses)
+            loss_meter.update(float(loss), n=imgs.shape[0] - pad)
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if batch_idx % self.config.print_freq == 0:
+                print(
+                    f"Val {self.experiment}: Epoch {epoch}\t"
+                    f"Batch {batch_idx}/{len(self.val_loader) - 1}\t"
+                    f"Batch time {batch_time.val:.4f} ({batch_time.avg:.4f})\t"
+                    f"Loss {loss_meter.val:f}"
+                )
+        print(f"Val {self.experiment}: Epoch {epoch}, val_loss {loss_meter.avg:f}")
+        self.metrics.write(kind="val", epoch=epoch, loss=loss_meter.avg)
+        return loss_meter.avg
+
+    def train_val(self) -> None:
+        """Run the full schedule (validation / snapshot / train epochs)."""
+        cfg = self.config
+        for epoch in range(self.start_epoch, cfg.n_epochs):
+            if self.val_loader is not None and (
+                epoch % cfg.val_freq == 0 or epoch == cfg.n_epochs - 1
+            ):
+                self.validate(epoch)
+
+            if epoch % cfg.snapshot == 0:
+                save_checkpoint(self.logdir, epoch, self.state)
+                print(f"Epoch {epoch} checkpoint saved for {self.experiment}")
+
+            data_time = AverageMeter()
+            batch_time = AverageMeter()
+            end = time.time()
+            for batch_idx, (imgs, poses, _) in enumerate(self.train_loader):
+                data_time.update(time.time() - end)
+                imgs, poses = self._put(imgs, poses)
+                self.state, loss = self._train_step(
+                    self.state, imgs, poses, self.rng
+                )
+                loss = float(loss)
+                batch_time.update(time.time() - end)
+
+                if batch_idx % cfg.print_freq == 0:
+                    cparams = {
+                        k: float(v)
+                        for k, v in self.state.params["criterion"].items()
+                    }
+                    print(
+                        f"Train {self.experiment}: Epoch {epoch}\t"
+                        f"Batch {batch_idx}/{len(self.train_loader) - 1}\t"
+                        f"Data Time {data_time.val:.4f} ({data_time.avg:.4f})\t"
+                        f"Batch Time {batch_time.val:.4f} ({batch_time.avg:.4f})\t"
+                        f"Loss {loss:f}"
+                    )
+                    self.metrics.write(
+                        kind="train", epoch=epoch, batch=batch_idx, loss=loss,
+                        data_time=data_time.avg, batch_time=batch_time.avg,
+                        **cparams,
+                    )
+                end = time.time()
+
+        save_checkpoint(self.logdir, cfg.n_epochs, self.state)
+        print(f"Epoch {cfg.n_epochs} checkpoint saved")
+        self.tee.uninstall()

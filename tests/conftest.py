@@ -7,12 +7,18 @@ so the suite is hermetic and fast. Must run before jax initializes a backend.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # the session env pins a TPU platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# the session's TPU plugin re-asserts itself over JAX_PLATFORMS; the config
+# update is authoritative
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,193 @@
+"""Data layer tests: tuple index math, MF/MFOnline composition, loader."""
+
+import numpy as np
+import pytest
+
+from geomapnet_tpu.data import (
+    MF,
+    MFOnline,
+    Loader,
+    OnlyPoses,
+    SyntheticScene,
+    TupleSampler,
+    vos_logq_np,
+    vos_simple_np,
+)
+
+
+class TestTupleSampler:
+    def test_centered_offsets(self):
+        s = TupleSampler(dataset_len=100, steps=3, skip=10)
+        np.testing.assert_array_equal(s.indices(50), [40, 50, 60])
+
+    def test_clamping_at_edges(self):
+        s = TupleSampler(dataset_len=100, steps=3, skip=10)
+        np.testing.assert_array_equal(s.indices(0), [0, 0, 10])
+        np.testing.assert_array_equal(s.indices(99), [89, 99, 99])
+
+    def test_even_steps_center(self):
+        """steps=2: offsets [0, skip] centered on the *second* element
+        (len//2 == 1), so indices are [i - skip, i]... actually [0,s]-s=[-s,0]
+        -> [i-s, i]."""
+        s = TupleSampler(dataset_len=100, steps=2, skip=5)
+        np.testing.assert_array_equal(s.indices(50), [45, 50])
+
+    def test_no_duplicates_shift_and_len(self):
+        s = TupleSampler(dataset_len=100, steps=3, skip=10, no_duplicates=True)
+        assert len(s) == 100 - 2 * 10
+        # first tuple starts exactly at 0 and never clamps
+        np.testing.assert_array_equal(s.indices(0), [0, 10, 20])
+        np.testing.assert_array_equal(s.indices(79), [79, 89, 99])
+
+    def test_variable_skip_bounds(self):
+        s = TupleSampler(dataset_len=1000, steps=4, skip=7, variable_skip=True)
+        rng = np.random.RandomState(0)
+        for i in [100, 500]:
+            idx = s.indices(i, rng)
+            gaps = np.diff(idx)
+            assert np.all(gaps >= 1) and np.all(gaps <= 7)
+            assert len(idx) == 4
+
+    def test_index_matrix_matches_indices(self):
+        s = TupleSampler(dataset_len=50, steps=3, skip=4)
+        mat = s.index_matrix()
+        assert mat.shape == (50, 3)
+        for i in [0, 10, 49]:
+            np.testing.assert_array_equal(mat[i], s.indices(i))
+
+
+class TestSyntheticScene:
+    def test_protocol(self):
+        ds = SyntheticScene(n_frames=16, height=32, width=48)
+        assert len(ds) == 16
+        assert ds.poses.shape == (16, 6)
+        img = ds.get_image(3)
+        assert img.shape == (32, 48, 3) and img.dtype == np.float32
+
+    def test_images_deterministic_and_pose_dependent(self):
+        ds = SyntheticScene(n_frames=16, height=32, width=48)
+        np.testing.assert_array_equal(ds.get_image(3), ds.get_image(3))
+        assert not np.allclose(ds.get_image(3), ds.get_image(10))
+
+    def test_real_variant_has_drift(self):
+        gt = SyntheticScene(n_frames=32, train=False)
+        real = SyntheticScene(n_frames=32, train=False, real=True)
+        assert not np.allclose(gt.poses[:, :3], real.poses[:, :3])
+        np.testing.assert_array_equal(real.gt_idx, np.arange(32))
+
+
+class TestMF:
+    def test_tuple_shapes(self):
+        ds = SyntheticScene(n_frames=32, height=32, width=48)
+        mf = MF(ds, steps=3, skip=5)
+        imgs, poses = mf[10]
+        assert imgs.shape == (3, 32, 48, 3)
+        assert poses.shape == (3, 6)
+        np.testing.assert_array_equal(poses, ds.poses[[5, 10, 15]])
+
+    def test_include_vos(self):
+        ds = SyntheticScene(n_frames=32)
+        mf = MF(ds, steps=3, skip=2, include_vos=True, vo_func=vos_logq_np)
+        _, poses = mf[10]
+        assert poses.shape == (5, 6)  # 3 abs + 2 vos
+        np.testing.assert_allclose(
+            poses[3:], vos_logq_np(ds.poses[[8, 10, 12]]), atol=1e-6
+        )
+
+    def test_real_swaps_abs_poses_from_gt(self):
+        gt = SyntheticScene(n_frames=32, train=False)
+        real = SyntheticScene(n_frames=32, train=False, real=True)
+        mf = MF(real, steps=3, skip=1, include_vos=True, real=True,
+                gt_dataset=gt, vo_func=vos_logq_np)
+        _, poses = mf[5]
+        # abs poses come from GT, VOs from the drifted real poses
+        np.testing.assert_array_equal(poses[:3], gt.poses[[4, 5, 6]])
+        np.testing.assert_allclose(
+            poses[3:], vos_logq_np(real.poses[[4, 5, 6]]), atol=1e-6
+        )
+
+
+class TestMFOnline:
+    def test_batch_layout(self):
+        train_ds = SyntheticScene(n_frames=32)
+        gt = SyntheticScene(n_frames=24, train=False)
+        real = SyntheticScene(n_frames=24, train=False, real=True)
+        T = 3
+        train_mf = MF(train_ds, steps=T, skip=2)
+        val_mf = MF(real, steps=T, skip=2, include_vos=True, real=True,
+                    no_duplicates=True, gt_dataset=gt, vo_func=vos_logq_np)
+        online = MFOnline(train_mf, val_mf)
+        imgs, poses = online[0]
+        assert imgs.shape[0] == 2 * T
+        assert poses.shape == (2 * T - 1, 6)  # T abs + (T-1) vos
+        assert len(online) == len(val_mf)
+
+    def test_gps_mode_layout(self):
+        train_ds = SyntheticScene(n_frames=32)
+        real = SyntheticScene(n_frames=24, train=False, real=True)
+        T = 2
+        train_mf = MF(train_ds, steps=T, skip=2)
+        val_mf = MF(real, steps=T, skip=2, include_vos=False,
+                    no_duplicates=True)
+        online = MFOnline(train_mf, val_mf, gps_mode=True)
+        imgs, poses = online[1]
+        assert imgs.shape[0] == 2 * T
+        assert poses.shape == (2 * T, 6)  # T abs + T gps abs
+
+
+class TestOnlyPoses:
+    def test_pairs(self):
+        gt = SyntheticScene(n_frames=16, train=False)
+        real = SyntheticScene(n_frames=16, train=False, real=True)
+        op = OnlyPoses(real, gt)
+        r, g = op[4]
+        np.testing.assert_array_equal(r, real.poses[4])
+        np.testing.assert_array_equal(g, gt.poses[4])
+
+
+class TestLoader:
+    def make_mf(self, n=20):
+        return MF(SyntheticScene(n_frames=n, height=16, width=16),
+                  steps=3, skip=1)
+
+    def test_fixed_shapes_drop_last(self):
+        loader = Loader(self.make_mf(20), batch_size=8, drop_last=True)
+        batches = list(loader)
+        assert len(batches) == 2 == len(loader)
+        for imgs, poses, pad in batches:
+            assert imgs.shape == (8, 3, 16, 16, 3)
+            assert poses.shape == (8, 3, 6)
+            assert pad == 0
+
+    def test_padding_no_drop(self):
+        loader = Loader(self.make_mf(20), batch_size=8, drop_last=False)
+        batches = list(loader)
+        assert len(batches) == 3 == len(loader)
+        assert batches[-1][0].shape == (8, 3, 16, 16, 3)
+        assert batches[-1][2] == 4  # 20 = 2*8 + 4 -> pad 4
+
+    def test_shuffle_changes_order_but_not_content(self):
+        mf = self.make_mf(16)
+        a = [p for _, p, _ in Loader(mf, 4, shuffle=False)]
+        b = [p for _, p, _ in Loader(mf, 4, shuffle=True, seed=3)]
+        assert not np.allclose(np.concatenate(a), np.concatenate(b))
+        sa = np.sort(np.concatenate(a).reshape(-1, 6), axis=0)
+        sb = np.sort(np.concatenate(b).reshape(-1, 6), axis=0)
+        np.testing.assert_allclose(sa, sb, atol=1e-7)
+
+    def test_corrupt_samples_skipped(self):
+        class Flaky:
+            def __init__(self, inner):
+                self.inner = inner
+
+            def __len__(self):
+                return len(self.inner)
+
+            def __getitem__(self, i):
+                if i % 5 == 0:  # every 5th sample is corrupt
+                    return None, None
+                return self.inner[i]
+
+        loader = Loader(Flaky(self.make_mf(20)), batch_size=4, drop_last=True)
+        for imgs, poses, _ in loader:
+            assert imgs is not None and np.all(np.isfinite(imgs))

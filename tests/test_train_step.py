@@ -1,0 +1,141 @@
+"""Train/eval step tests: loss decreases, clip masking, lr schedule, sharding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from geomapnet_tpu.losses import MapNetCriterion, PoseNetCriterion
+from geomapnet_tpu.models import MapNet, PoseNet, resnet18
+from geomapnet_tpu.parallel import make_mesh, shard_batch, shard_step
+from geomapnet_tpu.train import (
+    create_train_state,
+    make_eval_step,
+    make_lr_schedule,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def tiny_mapnet():
+    return MapNet(
+        posenet=PoseNet(feature_extractor=resnet18(), feat_dim=32, droprate=0.0)
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = tiny_mapnet()
+    criterion = MapNetCriterion(saq=-3.0, srq=-3.0, learn_beta=True,
+                                learn_gamma=True)
+    tx = make_optimizer("adam", 1e-3, weight_decay=5e-4)
+    x = jnp.zeros((2, 3, 32, 32, 3))
+    state = create_train_state(model, criterion, tx, jax.random.PRNGKey(0), x)
+    return model, criterion, tx, state
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, setup):
+        model, criterion, tx, state = setup
+        rng = jax.random.PRNGKey(1)
+        images = jax.random.normal(rng, (2, 3, 32, 32, 3))
+        targets = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 6)) * 0.1
+        step = jax.jit(make_train_step(model, criterion, tx))
+        losses = []
+        for _ in range(8):
+            state, loss = step(state, images, targets, rng)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 8
+
+    def test_criterion_params_learn(self, setup):
+        model, criterion, tx, state = setup
+        rng = jax.random.PRNGKey(1)
+        images = jax.random.normal(rng, (2, 3, 32, 32, 3))
+        targets = jnp.zeros((2, 3, 6))
+        step = jax.jit(make_train_step(model, criterion, tx))
+        s1, _ = step(state, images, targets, rng)
+        assert float(s1.params["criterion"]["sax"]) != 0.0
+
+    def test_eval_step_deterministic(self, setup):
+        model, criterion, _, state = setup
+        images = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 32, 32, 3))
+        eval_step = jax.jit(make_eval_step(model, criterion))
+        l1, o1 = eval_step(state, images, jnp.zeros((1, 3, 6)))
+        l2, o2 = eval_step(state, images, jnp.zeros((1, 3, 6)))
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+        assert float(l1) == float(l2)
+
+    def test_inference_only_eval(self, setup):
+        model, _, _, state = setup
+        images = jnp.zeros((1, 3, 32, 32, 3))
+        eval_step = make_eval_step(model, None)
+        loss, out = eval_step(state, images)
+        assert float(loss) == 0.0
+        assert out.shape == (1, 3, 6)
+
+
+class TestOptim:
+    def test_lr_schedule_sgd_steps(self):
+        sched = make_lr_schedule("sgd", 0.1, steps_per_epoch=10,
+                                 lr_decay=0.5, lr_stepvalues=[2, 4])
+        assert sched(0) == pytest.approx(0.1)
+        assert sched(19) == pytest.approx(0.1)
+        assert sched(20) == pytest.approx(0.05)   # epoch 2
+        assert sched(40) == pytest.approx(0.025)  # epoch 4
+
+    def test_lr_schedule_adam_constant(self):
+        sched = make_lr_schedule("adam", 1e-4, 10, 0.5, [2])
+        assert sched(0) == sched(1000) == pytest.approx(1e-4)
+
+    def test_clip_masks_criterion(self):
+        """Gradient clip applies to model grads only (reference clips
+        model.parameters() only, common/train.py:357-358)."""
+        tx = make_optimizer("sgd", 1.0, max_grad_norm=1e-6)
+        params = {"model": {"w": jnp.ones(3)}, "criterion": {"sax": jnp.zeros(())}}
+        grads = {"model": {"w": jnp.ones(3) * 100}, "criterion": {"sax": jnp.ones(())}}
+        updates, _ = tx.update(grads, tx.init(params), params)
+        assert float(jnp.abs(updates["model"]["w"]).max()) < 1e-5
+        assert float(jnp.abs(updates["criterion"]["sax"])) == pytest.approx(1.0)
+
+    def test_coupled_weight_decay_matches_torch_sgd(self):
+        """update = lr * (g + wd * p) for plain SGD."""
+        tx = make_optimizer("sgd", 0.1, weight_decay=0.01)
+        params = {"model": {"w": jnp.ones(2) * 2.0}, "criterion": {}}
+        grads = {"model": {"w": jnp.ones(2)}, "criterion": {}}
+        updates, _ = tx.update(grads, tx.init(params), params)
+        np.testing.assert_allclose(
+            np.asarray(updates["model"]["w"]), -0.1 * (1.0 + 0.01 * 2.0),
+            rtol=1e-6,
+        )
+
+    def test_unknown_method_raises(self):
+        with pytest.raises(ValueError):
+            make_optimizer("adagrad", 0.1)
+
+
+class TestSharding:
+    def test_data_parallel_train_step(self, setup):
+        """Train step over an 8-device mesh == single-device result."""
+        model, criterion, tx, state = setup
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+
+        images = jax.random.normal(jax.random.PRNGKey(5), (8, 3, 32, 32, 3))
+        targets = jax.random.normal(jax.random.PRNGKey(6), (8, 3, 6)) * 0.1
+        rng = jax.random.PRNGKey(7)
+
+        step = make_train_step(model, criterion, tx)
+        ref_state, ref_loss = jax.jit(step)(state, images, targets, rng)
+
+        sharded = shard_step(step, mesh, n_batch_args=2, n_state_args=1,
+                             n_replicated_args=1, donate_state=False)
+        sh_images, sh_targets = shard_batch((images, targets), mesh)
+        got_state, got_loss = sharded(state, sh_images, sh_targets, rng)
+
+        np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-5)
+        ref_w = np.asarray(
+            jax.tree.leaves(ref_state.params["model"])[0]
+        )
+        got_w = np.asarray(jax.tree.leaves(got_state.params["model"])[0])
+        np.testing.assert_allclose(got_w, ref_w, atol=1e-5)

@@ -1,0 +1,168 @@
+"""Oxford RobotCar dataset: disk-format-compatible frame dataset.
+
+Reference parity: /root/reference/dataset_loaders/robotcar.py. Reads the same
+layout: a scene directory (``data_path/<scene>``) with ``train_split.txt`` /
+``test_split.txt`` naming sequence dirs, each containing
+``stereo.timestamps``, ``gps/ins.csv`` (GT), ``vo/vo.csv`` or
+``gps/gps_ins.csv`` (real), and ``stereo/centre/<ts>.png`` images; an assets
+dir with per-sequence ``<vo_lib>_vo_stats.pkl`` alignment and the scene
+``pose_stats.txt``.
+
+Pose stats semantics preserved: RobotCar writes *real* mean/std of the GT
+translations on train construction (robotcar.py:89-99), unlike 7Scenes'
+identity stats.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+from ..geometry.process import process_poses
+from .robotcar_sdk import (
+    CameraModel,
+    interpolate_ins_poses,
+    interpolate_vo_poses,
+    load_stereo_image,
+)
+
+__all__ = ["RobotCar"]
+
+
+class RobotCar:
+    """One RobotCar scene (e.g. 'loop', 'full') as a frame dataset.
+
+    :param scene: sequence collection name
+    :param data_path: raw dataset root (contains ``<scene>/<seq dirs>``)
+    :param train: train vs test split
+    :param transform: callable image -> float array
+    :param real: poses from VO/GPS integration instead of INS ground truth
+    :param undistort: demosaic+undistort raw Bayer images on load (slow host
+        path; prefer offline preprocessing via cli.tools or the device kernel)
+    :param vo_lib: 'stereo' (vo.csv) or 'gps' (gps_ins.csv) for real=True
+    :param asset_dir: processed-assets root (defaults to ``data/RobotCar``)
+    """
+
+    def __init__(
+        self,
+        scene: str,
+        data_path: str,
+        train: bool,
+        transform=None,
+        target_transform=None,
+        real: bool = False,
+        skip_images: bool = False,
+        seed: int = 7,
+        undistort: bool = False,
+        vo_lib: str = "stereo",
+        asset_dir: str | None = None,
+        camera_models_dir: str | None = None,
+    ):
+        np.random.seed(seed)
+        self.transform = transform
+        self.target_transform = target_transform
+        self.skip_images = skip_images
+        self.undistort = undistort
+        base_dir = Path(os.path.expanduser(data_path)) / scene
+        data_dir = Path(asset_dir or Path("data") / "RobotCar") / scene
+
+        split_filename = base_dir / (
+            "train_split.txt" if train else "test_split.txt"
+        )
+        with open(split_filename) as f:
+            seqs = [l.rstrip() for l in f if not l.startswith("#")]
+
+        ps: dict[str, np.ndarray] = {}
+        ts: dict[str, list[int]] = {}
+        vo_stats: dict[str, dict] = {}
+        self.imgs: list[Path] = []
+        for seq in seqs:
+            seq_dir = base_dir / seq
+            with open(seq_dir / "stereo.timestamps") as f:
+                ts[seq] = [int(l.rstrip().split(" ")[0]) for l in f]
+
+            if real:
+                if vo_lib == "stereo":
+                    p = np.asarray(interpolate_vo_poses(
+                        seq_dir / "vo" / "vo.csv", ts[seq], ts[seq][0]
+                    ))
+                elif vo_lib == "gps":
+                    p = np.asarray(interpolate_ins_poses(
+                        seq_dir / "gps" / "gps_ins.csv", ts[seq], ts[seq][0]
+                    ))
+                else:
+                    raise NotImplementedError(f"unknown vo_lib {vo_lib}")
+                with open(data_dir / seq / f"{vo_lib}_vo_stats.pkl", "rb") as f:
+                    vo_stats[seq] = pickle.load(f)
+            else:
+                p = np.asarray(interpolate_ins_poses(
+                    seq_dir / "gps" / "ins.csv", ts[seq], ts[seq][0]
+                ))
+                vo_stats[seq] = {"R": np.eye(3), "t": np.zeros(3), "s": 1}
+            ps[seq] = p[:, :3, :].reshape(len(p), -1)
+
+            self.imgs += [
+                seq_dir / "stereo" / "centre" / f"{t}.png" for t in ts[seq]
+            ]
+
+        poses = np.vstack(list(ps.values()))
+        pose_stats_filename = data_dir / "pose_stats.txt"
+        if train and not real:
+            mean_t = np.mean(poses[:, [3, 7, 11]], axis=0)
+            std_t = np.std(poses[:, [3, 7, 11]], axis=0)
+            pose_stats_filename.parent.mkdir(parents=True, exist_ok=True)
+            np.savetxt(pose_stats_filename, np.vstack((mean_t, std_t)),
+                       fmt="%8.7f")
+        else:
+            mean_t, std_t = np.loadtxt(pose_stats_filename)
+
+        self.poses = np.empty((0, 6))
+        for seq in seqs:
+            pss = process_poses(
+                ps[seq], mean_t, std_t,
+                vo_stats[seq]["R"], vo_stats[seq]["t"], vo_stats[seq]["s"],
+            )
+            self.poses = np.vstack((self.poses, pss))
+        self.poses = self.poses.astype(np.float32)
+        self.gt_idx = np.arange(len(self.poses))
+
+        self._camera_model = None
+        if undistort:
+            models_dir = camera_models_dir or str(
+                Path("data") / "robotcar_camera_models"
+            )
+            self._camera_model = CameraModel(
+                models_dir, Path("stereo") / "centre"
+            )
+
+    def get_image(self, index: int):
+        if self.skip_images:
+            return None
+        if self.undistort:
+            img = load_stereo_image(self.imgs[index], self._camera_model)
+            if img is None:
+                return None
+            img = Image.fromarray(np.uint8(np.clip(img, 0, 255)))
+        else:
+            try:
+                img = Image.open(self.imgs[index])
+            except (IOError, OSError) as e:
+                print(f"Could not load image {self.imgs[index]}: {e}")
+                return None
+        if self.transform is not None:
+            return self.transform(img)
+        return np.asarray(img)
+
+    def __getitem__(self, index: int):
+        pose = self.poses[index]
+        if self.target_transform is not None:
+            pose = self.target_transform(pose)
+        return self.get_image(index), pose
+
+    def __len__(self) -> int:
+        return len(self.poses)

@@ -9,3 +9,4 @@ from .torch_import import (
     merge_variables,
     save_npz,
 )
+from .vidloc import VidLoc

@@ -1,0 +1,164 @@
+"""Device-side image preprocessing: the fused decode->tensor pipeline.
+
+The reference does all image prep on the host in DataLoader workers (PIL
+resize, SDK demosaic/undistort — /root/reference/dataset_loaders/
+robotcar.py:110-125, scripts/train.py:120-128). This host has a single CPU
+core, and on any TPU pod the host:chip ratio makes per-image Python work the
+bottleneck — so the heavy per-pixel stages run on device here, batched and
+jit-fused:
+
+- :func:`demosaic`: batched GBRG Bayer demosaic (pure gather/arithmetic; XLA
+  fuses it with the downstream stages);
+- :func:`undistort`: LUT resampling as 4 gathers + bilinear weights, with the
+  integer indices/weights precomputed once on the host from the camera LUT;
+- :func:`resize_bilinear`: batched antialiased resize via jax.image;
+- :func:`normalize`: (x/255 - mean)/std + dtype cast;
+- :func:`make_device_pipeline`: composes the stages into one jit'd function
+  from raw uint8 batches to model-ready bf16/f32 tensors.
+
+Everything operates on NHWC batches with static shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "demosaic",
+    "precompute_undistort_maps",
+    "undistort",
+    "resize_bilinear",
+    "resize_shorter_side_shape",
+    "normalize",
+    "make_device_pipeline",
+]
+
+
+def demosaic(raw: jnp.ndarray) -> jnp.ndarray:
+    """Batched bilinear GBRG demosaic: (N, H, W) -> (N, H, W, 3) float32.
+
+    Device equivalent of
+    :func:`geomapnet_tpu.data.robotcar_sdk.demosaic_gbrg`.
+    """
+    raw = raw.astype(jnp.float32)
+    N, H, W = raw.shape
+    pad = jnp.pad(raw, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+
+    def shift(dy, dx):
+        return jax.lax.dynamic_slice(pad, (0, 1 + dy, 1 + dx), (N, H, W))
+
+    cross = (shift(-1, 0) + shift(1, 0) + shift(0, -1) + shift(0, 1)) * 0.25
+    diag = (shift(-1, -1) + shift(-1, 1) + shift(1, -1) + shift(1, 1)) * 0.25
+    horiz = (shift(0, -1) + shift(0, 1)) * 0.5
+    vert = (shift(-1, 0) + shift(1, 0)) * 0.5
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) % 2
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1) % 2
+    g_mask = row == col              # G at (even,even) and (odd,odd)
+    b_mask = (row == 0) & (col == 1)
+    r_mask = (row == 1) & (col == 0)
+
+    green = jnp.where(g_mask, raw, cross)
+    red = jnp.where(
+        r_mask, raw,
+        jnp.where(b_mask, diag, jnp.where(g_mask & (row == 1), horiz, vert)),
+    )
+    blue = jnp.where(
+        b_mask, raw,
+        jnp.where(r_mask, diag, jnp.where(g_mask & (row == 0), horiz, vert)),
+    )
+    return jnp.clip(jnp.stack([red, green, blue], axis=-1), 0.0, 255.0)
+
+
+def precompute_undistort_maps(lut: np.ndarray, height: int, width: int):
+    """LUT (2, H*W) of float64 source coords -> static gather indices/weights.
+
+    Returns int32 (H, W) arrays y0, x0 and float32 (H, W) fractional parts —
+    host-side one-time work so the device undistort is pure gathers.
+    """
+    lx = lut[0].reshape(height, width)
+    ly = lut[1].reshape(height, width)
+    x0 = np.clip(np.floor(lx), 0, width - 1).astype(np.int32)
+    y0 = np.clip(np.floor(ly), 0, height - 1).astype(np.int32)
+    fx = (lx - x0).astype(np.float32)
+    fy = (ly - y0).astype(np.float32)
+    return y0, x0, fy, fx
+
+
+def undistort(img: jnp.ndarray, y0, x0, fy, fx) -> jnp.ndarray:
+    """Batched LUT undistortion: (N, H, W, C) + precomputed maps -> same shape."""
+    H, W = img.shape[1], img.shape[2]
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    fy = fy[None, :, :, None]
+    fx = fx[None, :, :, None]
+    im = img.astype(jnp.float32)
+    return (
+        im[:, y0, x0] * (1 - fx) * (1 - fy)
+        + im[:, y0, x1] * fx * (1 - fy)
+        + im[:, y1, x0] * (1 - fx) * fy
+        + im[:, y1, x1] * fx * fy
+    )
+
+
+def resize_shorter_side_shape(h: int, w: int, size: int) -> tuple[int, int]:
+    """Target (H, W) for a shortest-side resize (torchvision Resize(int))."""
+    if w <= h:
+        return max(1, round(h * size / w)), size
+    return size, max(1, round(w * size / h))
+
+
+def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int,
+                    antialias: bool = True) -> jnp.ndarray:
+    """Batched bilinear resize (N, H, W, C) -> (N, out_h, out_w, C).
+
+    ``antialias=True`` matches PIL's downscaling filter behavior closely
+    enough for training parity (PIL BILINEAR antialiases on downscale).
+    """
+    n, _, _, c = img.shape
+    return jax.image.resize(
+        img.astype(jnp.float32), (n, out_h, out_w, c), method="linear",
+        antialias=antialias,
+    )
+
+
+def normalize(img: jnp.ndarray, mean, std, dtype=jnp.float32,
+              scale: float = 1.0 / 255.0) -> jnp.ndarray:
+    """(x * scale - mean) / std, cast to the compute dtype."""
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    out = (img.astype(jnp.float32) * scale - mean) / std
+    return out.astype(dtype)
+
+
+def make_device_pipeline(
+    mean,
+    std,
+    resize_to: tuple[int, int] | None = None,
+    undistort_maps=None,
+    bayer: bool = False,
+    dtype=jnp.bfloat16,
+) -> Callable:
+    """Compose a one-launch device pipeline: raw batch -> model input.
+
+    :param bayer: input is (N, H, W) GBRG mosaic (RobotCar raw); else
+        (N, H, W, 3) RGB
+    :param undistort_maps: output of :func:`precompute_undistort_maps`
+    :param resize_to: target (H, W) after geometry ops
+    """
+
+    @jax.jit
+    def pipeline(raw: jnp.ndarray) -> jnp.ndarray:
+        img = demosaic(raw) if bayer else raw.astype(jnp.float32)
+        if undistort_maps is not None:
+            img = undistort(img, *undistort_maps)
+        if resize_to is not None:
+            img = resize_bilinear(img, *resize_to)
+        return normalize(img, mean, std, dtype=dtype)
+
+    return pipeline

@@ -1,0 +1,82 @@
+"""Device image-pipeline tests: demosaic/undistort/resize/normalize parity."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from geomapnet_tpu.data.robotcar_sdk import demosaic_gbrg
+from geomapnet_tpu.ops.image import (
+    demosaic,
+    make_device_pipeline,
+    normalize,
+    precompute_undistort_maps,
+    resize_bilinear,
+    resize_shorter_side_shape,
+    undistort,
+)
+
+
+class TestDemosaicDevice:
+    def test_matches_host_implementation(self, rng):
+        raw = rng.randint(0, 255, (2, 16, 20)).astype(np.float32)
+        dev = np.asarray(demosaic(jnp.asarray(raw)))
+        for n in range(2):
+            host = demosaic_gbrg(raw[n])
+            np.testing.assert_allclose(dev[n], host, atol=1e-4)
+
+
+class TestUndistortDevice:
+    def test_identity_maps(self, rng):
+        H, W = 12, 16
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+        lut = np.stack([xx.ravel(), yy.ravel()])
+        maps = precompute_undistort_maps(lut, H, W)
+        img = rng.rand(3, H, W, 3).astype(np.float32)
+        out = np.asarray(undistort(jnp.asarray(img), *maps))
+        np.testing.assert_allclose(out, img, atol=1e-5)
+
+    def test_half_pixel_shift_interpolates(self):
+        H, W = 4, 8
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+        lut = np.stack([(xx + 0.5).clip(0, W - 1).ravel(), yy.ravel()])
+        maps = precompute_undistort_maps(lut, H, W)
+        img = np.tile(np.arange(W, dtype=np.float32)[None, :, None], (H, 1, 1))[None]
+        out = np.asarray(undistort(jnp.asarray(img), *maps))
+        expect = np.tile(np.arange(W - 1) + 0.5, (H, 1))
+        np.testing.assert_allclose(out[0, :, :-1, 0], expect, atol=1e-5)
+
+
+class TestResize:
+    def test_shorter_side_shape(self):
+        assert resize_shorter_side_shape(480, 640, 256) == (256, 341)
+        assert resize_shorter_side_shape(640, 480, 256) == (341, 256)
+
+    def test_resize_constant_preserved(self):
+        img = jnp.full((1, 32, 48, 3), 7.0)
+        out = np.asarray(resize_bilinear(img, 16, 24))
+        np.testing.assert_allclose(out, 7.0, atol=1e-5)
+
+
+class TestNormalize:
+    def test_values(self):
+        img = jnp.full((1, 2, 2, 3), 255.0)
+        out = np.asarray(normalize(img, [0.5, 0.5, 0.5], [0.25, 0.5, 1.0]))
+        np.testing.assert_allclose(out[0, 0, 0], [2.0, 1.0, 0.5], atol=1e-6)
+
+
+class TestPipeline:
+    def test_bayer_pipeline_end_to_end(self, rng):
+        pipe = make_device_pipeline(
+            mean=[0.5, 0.5, 0.5], std=[0.2, 0.2, 0.2],
+            resize_to=(8, 12), bayer=True, dtype=jnp.float32,
+        )
+        raw = rng.randint(0, 255, (2, 16, 24)).astype(np.uint8)
+        out = np.asarray(pipe(jnp.asarray(raw)))
+        assert out.shape == (2, 8, 12, 3)
+        assert np.all(np.isfinite(out))
+
+    def test_rgb_pipeline_dtype(self, rng):
+        pipe = make_device_pipeline(mean=[0.0] * 3, std=[1.0] * 3,
+                                    dtype=jnp.bfloat16)
+        img = rng.rand(1, 8, 8, 3).astype(np.float32) * 255
+        out = pipe(jnp.asarray(img))
+        assert out.dtype == jnp.bfloat16

@@ -33,7 +33,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # 7Scenes input geometry: 480x640 -> shortest-side-256 resize -> 256x341
 H, W, T = 256, 341, 3
-BATCH_TUPLES = 21  # 63 images per launch
+BATCH_TUPLES = 42  # 126 images per launch (throughput-optimal on v5e, see sweep)
 WARMUP, ITERS = 3, 20
 BS1_ITERS = 20
 

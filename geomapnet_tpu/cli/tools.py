@@ -285,6 +285,41 @@ def process_robotcar_images(args) -> None:
     print(f"{len(images)} images -> {out_dir}")
 
 
+def time_imload(args) -> None:
+    """Image-loading microbenchmark: plain decode vs demosaic vs
+    demosaic+undistort (/root/reference/dataset_loaders/time_imload.py) —
+    plus the batched device pipeline for comparison."""
+    import timeit
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..data.robotcar_sdk import demosaic_gbrg
+    from ..ops.image import make_device_pipeline
+
+    path = args.image
+    n = args.number
+
+    t_plain = min(timeit.repeat(
+        lambda: np.asarray(Image.open(path).convert("RGB")),
+        repeat=3, number=n)) / n
+    print(f"plain decode:            {t_plain * 1e3:8.2f} ms/image")
+
+    raw = np.asarray(Image.open(path).convert("L"), dtype=np.float32)
+    t_dem = min(timeit.repeat(lambda: demosaic_gbrg(raw),
+                              repeat=3, number=n)) / n
+    print(f"host demosaic:           {t_dem * 1e3:8.2f} ms/image")
+
+    batch = np.tile(raw[None], (args.batch, 1, 1))
+    pipe = make_device_pipeline(mean=[0.5] * 3, std=[0.25] * 3, bayer=True,
+                                dtype=jnp.bfloat16)
+    pipe(jnp.asarray(batch))  # compile
+    t_dev = min(timeit.repeat(
+        lambda: np.asarray(pipe(jnp.asarray(batch))[0, 0, 0]),
+        repeat=3, number=max(1, n // 4))) / max(1, n // 4) / args.batch
+    print(f"device pipeline (B={args.batch}): {t_dev * 1e3:8.2f} ms/image")
+
+
 def reverse_vo_poses(args) -> None:
     """Reverse the frame ordering of a ``[frame_idx, 12-dim pose]`` VO file
     (for sequences run backwards through the VO system)."""
@@ -343,6 +378,12 @@ def main(argv=None):
     p.add_argument("--seq", required=True)
     p.add_argument("--camera_models", default="data/robotcar_camera_models")
     p.set_defaults(fn=process_robotcar_images)
+
+    p = sub.add_parser("time_imload")
+    p.add_argument("--image", required=True)
+    p.add_argument("--number", type=int, default=20)
+    p.add_argument("--batch", type=int, default=16)
+    p.set_defaults(fn=time_imload)
 
     p = sub.add_parser("reverse_vo_poses")
     p.add_argument("--input", required=True)

@@ -50,6 +50,10 @@ def main(argv=None):
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute dtype")
     parser.add_argument("--no_mesh", action="store_true")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a JAX profiler trace of early batches")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="fail fast on the first NaN in jitted code")
     args = parser.parse_args(argv)
 
     config = parse_ini(args.config_file)
@@ -76,6 +80,7 @@ def main(argv=None):
         model, train_criterion, config, name, train_set, val_set,
         val_criterion=val_criterion, checkpoint=args.checkpoint,
         resume_optim=args.resume_optim, use_mesh=not args.no_mesh,
+        profile_dir=args.profile_dir, debug_nans=args.debug_nans,
     )
 
     if args.pretrained_npz:

@@ -49,6 +49,8 @@ class Loader:
         drop_last: bool = True,
         seed: int = 7,
         prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -56,9 +58,20 @@ class Loader:
         self.drop_last = drop_last
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
+        # multi-host (DCN) sharding of the host pipeline: every process draws
+        # the same seeded permutation and takes a disjoint strided slice, so
+        # per-process batches are the per-host shards of a global batch
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def _local_len(self) -> int:
+        n = len(self.dataset)
+        if self.process_count > 1:
+            n = len(range(self.process_index, n, self.process_count))
+        return n
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = self._local_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -85,6 +98,8 @@ class Loader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
+        if self.process_count > 1:
+            order = order[self.process_index::self.process_count]
         bs = self.batch_size
         n_full = len(order) // bs
         for b in range(n_full):

@@ -70,11 +70,17 @@ class SevenScenes:
         skip_images: bool = False,
         vo_lib: str = "orbslam",
         asset_dir: str | None = None,
+        use_native: bool = False,
+        native_size: tuple[int, int] | None = None,
     ):
         self.mode = mode
         self.transform = transform
         self.target_transform = target_transform
         self.skip_images = skip_images
+        # native C++ decode+resize path (geomapnet_tpu.native): images arrive
+        # as pre-resized uint8 arrays; the transform skips PIL work
+        self.use_native = use_native
+        self.native_size = native_size or (256, 341)  # 480x640 @ shortest-256
         np.random.seed(seed)
 
         base_dir = Path(os.path.expanduser(data_path)) / scene
@@ -144,6 +150,13 @@ class SevenScenes:
         """Float image array for frame ``index`` (None if unreadable)."""
         if self.skip_images:
             return None
+        if self.use_native and self.mode == 0:
+            from .. import native
+
+            img = native.decode_image(self.c_imgs[index], *self.native_size)
+            if img is None:
+                return None
+            return self.transform(img) if self.transform else img
         if self.mode == 0:
             img = _load_image(self.c_imgs[index])
         elif self.mode == 1:

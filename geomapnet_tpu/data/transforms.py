@@ -136,10 +136,16 @@ class ImageTransform:
     color_jitter_strength: float = 0.0
     rng: np.random.RandomState | None = None
 
-    def __call__(self, img: Image.Image) -> np.ndarray:
-        if self.resize:
-            img = resize_shorter_side(img, self.resize)
-        arr = np.asarray(img.convert("RGB"), dtype=np.float32)
+    def __call__(self, img) -> np.ndarray:
+        if isinstance(img, np.ndarray):
+            # already decoded+resized (e.g. by the native loader)
+            arr = np.asarray(img, dtype=np.float32)
+            if arr.ndim == 2:
+                arr = np.stack([arr] * 3, axis=-1)
+        else:
+            if self.resize:
+                img = resize_shorter_side(img, self.resize)
+            arr = np.asarray(img.convert("RGB"), dtype=np.float32)
         if self.color_jitter_strength > 0:
             rng = self.rng if self.rng is not None else np.random.RandomState()
             arr = color_jitter(

@@ -61,9 +61,16 @@ class Trainer:
         resume_optim: bool = False,
         logdir_root: str = "logs",
         use_mesh: bool = True,
+        profile_dir: str | None = None,
+        debug_nans: bool = False,
     ):
         self.model = model
         self.config = config
+        self.profile_dir = profile_dir
+        if debug_nans:
+            # numerical-safety mode: fail fast on the first NaN produced by a
+            # jitted computation (aux subsystem per SURVEY.md §5)
+            jax.config.update("jax_debug_nans", True)
         self.experiment = experiment
         self.train_criterion = train_criterion
         self.val_criterion = val_criterion or train_criterion
@@ -175,8 +182,16 @@ class Trainer:
             data_time = AverageMeter()
             batch_time = AverageMeter()
             end = time.time()
+            tracing = False
+            if self.profile_dir and epoch == self.start_epoch:
+                jax.profiler.start_trace(self.profile_dir)
+                tracing = True
             for batch_idx, (imgs, poses, _) in enumerate(self.train_loader):
                 data_time.update(time.time() - end)
+                if tracing and batch_idx == 10:
+                    jax.profiler.stop_trace()
+                    tracing = False
+                    print(f"Profiler trace written to {self.profile_dir}")
                 imgs, poses = self._put(imgs, poses)
                 self.state, loss = self._train_step(
                     self.state, imgs, poses, self.rng
@@ -202,6 +217,8 @@ class Trainer:
                         **cparams,
                     )
                 end = time.time()
+            if tracing:
+                jax.profiler.stop_trace()
 
         save_checkpoint(self.logdir, cfg.n_epochs, self.state)
         print(f"Epoch {cfg.n_epochs} checkpoint saved")

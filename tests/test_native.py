@@ -1,0 +1,90 @@
+"""Native C++ image decoder tests (skipped when the library isn't built)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+native = pytest.importorskip("geomapnet_tpu.native")
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built"
+)
+
+
+@pytest.fixture
+def pngs(tmp_path, rng):
+    paths = []
+    for i in range(4):
+        arr = rng.randint(0, 255, (48, 64, 3)).astype(np.uint8)
+        p = tmp_path / f"img_{i}.png"
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    return paths
+
+
+def test_decode_batch_shapes(pngs):
+    batch, ok = native.decode_batch(pngs, 24, 32, n_threads=2)
+    assert batch.shape == (4, 24, 32, 3)
+    assert batch.dtype == np.uint8
+    assert ok.all()
+
+
+def test_decode_identity_size(pngs):
+    """Decoding at the source size reproduces the image exactly."""
+    src = np.asarray(Image.open(pngs[0]))
+    out = native.decode_image(pngs[0], 48, 64)
+    np.testing.assert_array_equal(out, src)
+
+
+def test_failure_flags(pngs, tmp_path):
+    missing = tmp_path / "missing.png"
+    batch, ok = native.decode_batch([pngs[0], missing], 24, 32)
+    assert ok.tolist() == [True, False]
+
+
+def test_grayscale_promoted(tmp_path, rng):
+    arr = rng.randint(0, 255, (40, 40)).astype(np.uint8)
+    p = tmp_path / "g.png"
+    Image.fromarray(arr, mode="L").save(p)
+    out = native.decode_image(p, 40, 40)
+    assert out.shape == (40, 40, 3)
+    np.testing.assert_array_equal(out[..., 0], arr)
+
+
+def test_downscale_close_to_pil(tmp_path):
+    """On a smooth image, native resize tracks PIL closely."""
+    yy, xx = np.mgrid[0:128, 0:160]
+    smooth = np.stack([yy, xx, yy + xx], axis=-1).astype(np.float64)
+    smooth = (smooth / smooth.max() * 255).astype(np.uint8)
+    p = tmp_path / "smooth.png"
+    Image.fromarray(smooth).save(p)
+    out = native.decode_image(p, 32, 40)
+    ref = np.asarray(Image.open(p).resize((40, 32), Image.BILINEAR))
+    assert np.abs(out.astype(int) - ref.astype(int)).mean() < 2.0
+
+
+def test_sevenscenes_native_path(tmp_path, rng):
+    """use_native=True drives the C++ decoder through the dataset."""
+    from geomapnet_tpu.data.sevenscenes import SevenScenes
+
+    scene = tmp_path / "raw" / "heads"
+    seq = scene / "seq-01"
+    seq.mkdir(parents=True)
+    with open(scene / "TrainSplit.txt", "w") as f:
+        f.write("sequence1\n")
+    for i in range(3):
+        Image.fromarray(
+            rng.randint(0, 255, (48, 64, 3)).astype(np.uint8)
+        ).save(seq / f"frame-{i:06d}.color.png")
+        pose = np.eye(4)
+        pose[:3, 3] = [i, 0, 0]
+        np.savetxt(seq / f"frame-{i:06d}.pose.txt", pose)
+
+    ds = SevenScenes(
+        "heads", str(tmp_path / "raw"), train=True,
+        asset_dir=str(tmp_path / "assets"), use_native=True,
+        native_size=(24, 32),
+    )
+    img = ds.get_image(0)
+    assert img.shape == (24, 32, 3)
+    assert ds.poses.shape == (3, 6)

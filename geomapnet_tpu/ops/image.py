@@ -75,6 +75,39 @@ def demosaic(raw: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.stack([red, green, blue], axis=-1), 0.0, 255.0)
 
 
+def demosaic_half(raw: jnp.ndarray) -> jnp.ndarray:
+    """Half-resolution demosaic: (N, H, W) GBRG -> (N, H//2, W//2, 3).
+
+    Each 2x2 Bayer quad (G B / R G) yields one RGB pixel directly:
+    R = the quad's red sample, G = mean of its two greens, B = its blue.
+    This fuses demosaic + the first antialias octave into strided slices —
+    no full-resolution RGB intermediate ever hits HBM, which makes it the
+    fast path when the target size is <= half the sensor size (RobotCar
+    960x1280 -> 256x341 always qualifies).
+    """
+    n, h, w = raw.shape
+    if raw.dtype == jnp.uint8:
+        # column deinterleave via byte bitcast: adjacent uint8 pairs become
+        # one uint16 lane, so even/odd columns fall out of a mask and a shift
+        # (elementwise on the vector unit — lane-stride-2 slicing would
+        # lower to slow gathers instead)
+        u16 = jax.lax.bitcast_convert_type(
+            raw.reshape(n, h, w // 2, 2), jnp.uint16
+        )
+        even_c = (u16 & 0xFF).astype(jnp.float32)       # cols 0, 2, 4, ...
+        odd_c = (u16 >> 8).astype(jnp.float32)          # cols 1, 3, 5, ...
+    else:
+        raw = raw.astype(jnp.float32)
+        even_c = raw[:, :, 0::2]
+        odd_c = raw[:, :, 1::2]
+    # row deinterleave on the sublane axis (cheap on TPU)
+    g0 = even_c[:, 0::2]   # (even row, even col) = G
+    b = odd_c[:, 0::2]     # (even row, odd col)  = B
+    r = even_c[:, 1::2]    # (odd row, even col)  = R
+    g1 = odd_c[:, 1::2]    # (odd row, odd col)   = G
+    return jnp.stack([r, (g0 + g1) * 0.5, b], axis=-1)
+
+
 def precompute_undistort_maps(lut: np.ndarray, height: int, width: int):
     """LUT (2, H*W) of float64 source coords -> static gather indices/weights.
 
@@ -113,17 +146,34 @@ def resize_shorter_side_shape(h: int, w: int, size: int) -> tuple[int, int]:
     return size, max(1, round(w * size / h))
 
 
+def box_halve(img: jnp.ndarray) -> jnp.ndarray:
+    """2x2 box downsample: (N, H, W, C) -> (N, H//2, W//2, C).
+
+    A reshape+mean, which XLA compiles to a trivial reduction — used as the
+    antialias prefilter octave (large antialiased gathers at RobotCar
+    resolution compile pathologically slowly on this toolchain).
+    """
+    n, h, w, c = img.shape
+    img = img[:, : h - h % 2, : w - w % 2]
+    return img.reshape(n, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+
+
 def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int,
                     antialias: bool = True) -> jnp.ndarray:
-    """Batched bilinear resize (N, H, W, C) -> (N, out_h, out_w, C).
+    """Batched resize (N, H, W, C) -> (N, out_h, out_w, C).
 
-    ``antialias=True`` matches PIL's downscaling filter behavior closely
-    enough for training parity (PIL BILINEAR antialiases on downscale).
+    Downscales > 2x are prefiltered with 2x2 box octaves (cheap, fast to
+    compile), then a plain bilinear resize covers the remainder — closely
+    approximating PIL's antialiased BILINEAR without the compile cost of
+    XLA's antialiased gather at megapixel sizes.
     """
+    img = img.astype(jnp.float32)
+    if antialias:
+        while img.shape[1] >= 2 * out_h and img.shape[2] >= 2 * out_w:
+            img = box_halve(img)
     n, _, _, c = img.shape
     return jax.image.resize(
-        img.astype(jnp.float32), (n, out_h, out_w, c), method="linear",
-        antialias=antialias,
+        img, (n, out_h, out_w, c), method="linear", antialias=False,
     )
 
 
@@ -152,9 +202,45 @@ def make_device_pipeline(
     :param resize_to: target (H, W) after geometry ops
     """
 
+    use_pallas = jax.default_backend() == "tpu"
+
     @jax.jit
     def pipeline(raw: jnp.ndarray) -> jnp.ndarray:
-        img = demosaic(raw) if bayer else raw.astype(jnp.float32)
+        if bayer:
+            # fast path: when undistortion is off and the target fits in half
+            # the sensor, demosaic directly at half resolution (no full-res
+            # RGB intermediate); undistortion LUTs are defined at full
+            # resolution, so that path keeps the classic demosaic. On TPU the
+            # fused Pallas kernel (demosaic+normalize in one VMEM pass,
+            # ops/pallas_image.py) is ~17% faster than the XLA composition;
+            # normalize commutes with the linear resize, so it runs first.
+            if (
+                undistort_maps is None
+                and resize_to is not None
+                and resize_to[0] * 2 <= raw.shape[1]
+                and resize_to[1] * 2 <= raw.shape[2]
+            ):
+                if use_pallas:
+                    from .pallas_image import demosaic_half_normalize
+
+                    # stay channel-planar through the resize; transpose only
+                    # the small output (NHWC relayout at half resolution is
+                    # 4x more HBM traffic than at target resolution)
+                    img = demosaic_half_normalize(
+                        raw, tuple(mean), tuple(std), dtype=jnp.float32,
+                        planar=True,
+                    )
+                    n = img.shape[0]
+                    img = jax.image.resize(
+                        img, (n, 3, *resize_to), method="linear",
+                        antialias=False,
+                    )
+                    return jnp.transpose(img, (0, 2, 3, 1)).astype(dtype)
+                img = demosaic_half(raw)
+            else:
+                img = demosaic(raw)
+        else:
+            img = raw.astype(jnp.float32)
         if undistort_maps is not None:
             img = undistort(img, *undistort_maps)
         if resize_to is not None:

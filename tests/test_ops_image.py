@@ -5,6 +5,7 @@ import jax.numpy as jnp
 
 from geomapnet_tpu.data.robotcar_sdk import demosaic_gbrg
 from geomapnet_tpu.ops.image import (
+    box_halve,
     demosaic,
     make_device_pipeline,
     normalize,
@@ -80,3 +81,31 @@ class TestPipeline:
         img = rng.rand(1, 8, 8, 3).astype(np.float32) * 255
         out = pipe(jnp.asarray(img))
         assert out.dtype == jnp.bfloat16
+
+
+class TestPallasKernel:
+    def test_matches_xla_in_interpret_mode(self, rng):
+        """The fused Pallas demosaic+normalize kernel is bit-compatible with
+        the XLA composition (interpret mode on CPU)."""
+        import functools
+
+        from jax.experimental import pallas as pl
+
+        import geomapnet_tpu.ops.pallas_image as P
+        from geomapnet_tpu.ops.image import demosaic_half, normalize
+
+        orig = pl.pallas_call
+        pl.pallas_call = functools.partial(orig, interpret=True)
+        try:
+            raw = rng.randint(0, 255, (2, 16, 256)).astype(np.uint8)
+            out = np.asarray(P.demosaic_half_normalize(
+                jnp.asarray(raw), (0.5, 0.5, 0.5), (0.25, 0.25, 0.25),
+                dtype=jnp.float32,
+            ))
+            ref = np.asarray(normalize(
+                demosaic_half(jnp.asarray(raw)), [0.5] * 3, [0.25] * 3,
+                dtype=jnp.float32,
+            ))
+            np.testing.assert_allclose(out, ref, atol=1e-6)
+        finally:
+            pl.pallas_call = orig

@@ -103,6 +103,13 @@ class Trainer:
             max_grad_norm=config.max_grad_norm,
             **config.optim_extras,
         )
+        from .optim import make_lr_schedule
+
+        self._lr_schedule = make_lr_schedule(
+            config.opt, config.lr, max(1, len(self.train_loader)),
+            config.optim_extras.get("lr_decay"),
+            config.optim_extras.get("lr_stepvalues"),
+        )
 
         sample_imgs, _, _ = next(iter(
             Loader(train_dataset, 1, shuffle=False, drop_last=True)
@@ -204,17 +211,19 @@ class Trainer:
                         k: float(v)
                         for k, v in self.state.params["criterion"].items()
                     }
+                    lr = float(self._lr_schedule(int(self.state.step)))
                     print(
                         f"Train {self.experiment}: Epoch {epoch}\t"
                         f"Batch {batch_idx}/{len(self.train_loader) - 1}\t"
                         f"Data Time {data_time.val:.4f} ({data_time.avg:.4f})\t"
                         f"Batch Time {batch_time.val:.4f} ({batch_time.avg:.4f})\t"
-                        f"Loss {loss:f}"
+                        f"Loss {loss:f}\t"
+                        f"lr: {lr:f}"
                     )
                     self.metrics.write(
                         kind="train", epoch=epoch, batch=batch_idx, loss=loss,
-                        data_time=data_time.avg, batch_time=batch_time.avg,
-                        **cparams,
+                        lr=lr, data_time=data_time.avg,
+                        batch_time=batch_time.avg, **cparams,
                     )
                 end = time.time()
             if tracing:

@@ -34,6 +34,8 @@ __all__ = [
     "build_model",
     "build_criteria",
     "build_transform",
+    "build_device_preprocess",
+    "build_raw_device_preprocess",
     "build_frame_dataset",
     "build_datasets",
     "experiment_name",
@@ -86,9 +88,14 @@ def build_criteria(model_name: str, config: ExperimentConfig,
 
 def build_transform(dataset: str, scene: str, config: ExperimentConfig,
                     asset_root: str = "data", train: bool = True,
-                    seed: int = 7) -> ImageTransform:
+                    seed: int = 7, keep_uint8: bool = False) -> ImageTransform:
     """Resize(256) [+ColorJitter] + Normalize(mean, sqrt(var)) pipeline
-    (/root/reference/scripts/train.py:114-128)."""
+    (/root/reference/scripts/train.py:114-128).
+
+    With ``keep_uint8`` the host emits resized uint8 and normalization moves
+    on-device (pair with :func:`build_device_preprocess`) — 4x less
+    host->device transfer per batch.
+    """
     if dataset == "synth":
         return ImageTransform(resize=None, normalize=None)
     stats = np.loadtxt(Path(asset_root) / dataset / scene / "stats.txt")
@@ -98,6 +105,72 @@ def build_transform(dataset: str, scene: str, config: ExperimentConfig,
         normalize=Normalize(mean, std),
         color_jitter_strength=config.color_jitter if train else 0.0,
         rng=np.random.RandomState(seed),
+        keep_uint8=keep_uint8,
+    )
+
+
+def build_device_preprocess(dataset: str, scene: str,
+                            asset_root: str = "data", dtype=jnp.float32):
+    """Device-side normalize for the uint8 host path (or None for synth).
+
+    The returned function is closed over the scene's pixel stats and is meant
+    to be fused into the jit'd train/eval step (``preprocess=`` of
+    :func:`geomapnet_tpu.train.make_train_step`), so the host ships raw
+    resized uint8 and the (x/255 - mean)/std + dtype cast runs on device.
+    """
+    if dataset == "synth":
+        return None
+    from ..ops.image import normalize as device_normalize
+
+    stats = np.loadtxt(Path(asset_root) / dataset / scene / "stats.txt")
+    mean, std = std_from_stats(stats)
+    mean = tuple(float(m) for m in mean)
+    std = tuple(float(s) for s in std)
+
+    def preprocess(images):
+        return device_normalize(images, mean, std, dtype=dtype)
+
+    return preprocess
+
+
+def build_raw_device_preprocess(
+    scene: str,
+    asset_root: str = "data",
+    dtype=jnp.float32,
+    raw_size: tuple[int, int] = (960, 1280),
+    resize: int = 256,
+    camera_models_dir: str | None = None,
+):
+    """RobotCar raw-mosaic pipeline: the host ships untouched Bayer uint8 and
+    demosaic -> [undistort] -> resize -> normalize all run fused on device
+    (:func:`geomapnet_tpu.ops.image.make_device_pipeline` with the Pallas
+    demosaic kernel on TPU). Pair with ``RobotCar(raw_bayer=True)``.
+
+    Replaces the reference's offline ``process_robotcar_images.py`` +
+    host-side SDK demosaic/undistort (/root/reference/dataset_loaders/
+    robotcar.py:110-125) with zero host pixel work.
+    """
+    from ..ops.image import (
+        make_device_pipeline,
+        precompute_undistort_maps,
+        resize_shorter_side_shape,
+    )
+
+    stats = np.loadtxt(Path(asset_root) / "RobotCar" / scene / "stats.txt")
+    mean, std = std_from_stats(stats)
+    maps = None
+    if camera_models_dir:
+        from ..data.robotcar_sdk import CameraModel
+
+        cam = CameraModel(camera_models_dir, Path("stereo") / "centre")
+        maps = precompute_undistort_maps(cam.lut, *raw_size)
+    return make_device_pipeline(
+        mean=tuple(float(m) for m in mean),
+        std=tuple(float(s) for s in std),
+        resize_to=resize_shorter_side_shape(*raw_size, resize),
+        undistort_maps=maps,
+        bayer=True,
+        dtype=dtype,
     )
 
 
@@ -112,6 +185,7 @@ def build_frame_dataset(
     skip_images: bool = False,
     asset_root: str = "data",
     vo_lib: str | None = None,
+    raw_bayer: bool = False,
 ):
     """Construct one frame dataset by name."""
     if dataset == "synth":
@@ -133,9 +207,10 @@ def build_frame_dataset(
 
         return RobotCar(
             scene=scene, data_path=data_path, train=train,
-            transform=transform, seed=config.seed, real=real,
-            skip_images=skip_images, vo_lib=vo_lib or "stereo",
+            transform=None if raw_bayer else transform, seed=config.seed,
+            real=real, skip_images=skip_images, vo_lib=vo_lib or "stereo",
             asset_dir=str(Path(asset_root) / "RobotCar"),
+            raw_bayer=raw_bayer,
         )
     raise ValueError(f"unknown dataset {dataset}")
 
@@ -147,19 +222,21 @@ def build_datasets(
     data_path: str,
     config: ExperimentConfig,
     asset_root: str = "data",
+    keep_uint8: bool = False,
+    raw_bayer: bool = False,
 ):
     """(train_set, val_set) for a model family, mirroring
     /root/reference/scripts/train.py:131-156."""
     tf_train = build_transform(dataset, scene, config, asset_root, train=True,
-                               seed=config.seed)
+                               seed=config.seed, keep_uint8=keep_uint8)
     tf_val = build_transform(dataset, scene, config, asset_root, train=False,
-                             seed=config.seed)
+                             seed=config.seed, keep_uint8=keep_uint8)
 
     def frames(train, transform, real=False, skip_images=False, vo_lib=None):
         return build_frame_dataset(
             dataset, scene, data_path, train, config, transform=transform,
             real=real, skip_images=skip_images, asset_root=asset_root,
-            vo_lib=vo_lib,
+            vo_lib=vo_lib, raw_bayer=raw_bayer,
         )
 
     if model_name == "posenet":

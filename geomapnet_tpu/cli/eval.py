@@ -33,8 +33,10 @@ from ..train.state import create_train_state, make_eval_step
 from ..train.optim import make_optimizer
 from .builders import (
     build_criteria,
+    build_device_preprocess,
     build_frame_dataset,
     build_model,
+    build_raw_device_preprocess,
     build_transform,
 )
 from .config import parse_ini
@@ -52,11 +54,17 @@ def evaluate(
     fc_vos: bool = False,
     pgo_weights: dict | None = None,
     progress: bool = True,
+    preprocess=None,
+    stochastic: bool = False,
+    seed: int = 7,
 ) -> dict:
     """Run batched evaluation over an MF (or plain frame) dataset.
 
-    Returns {"pred_poses", "targ_poses", "t_err", "q_err", "median_t",
-    "median_q", "mean_t", "mean_q", "images_per_sec"}.
+    ``preprocess`` fuses a device-side image stage (e.g. uint8 normalize)
+    into the jit'd eval step; ``stochastic`` keeps dropout active (the
+    reference's eval-time dropout quirk, for accuracy-parity runs). Returns
+    {"pred_poses", "targ_poses", "t_err", "q_err", "median_t", "median_q",
+    "mean_t", "mean_q", "images_per_sec"}.
     """
     is_tuple = isinstance(dataset, MF)
     L = len(dataset.dset) if is_tuple else len(dataset)
@@ -66,7 +74,11 @@ def evaluate(
         pose_stats if pose_stats is not None else (np.zeros(3), np.ones(3))
     )
 
-    eval_step = jax.jit(make_eval_step(model, None))
+    eval_step = jax.jit(
+        make_eval_step(model, None, preprocess=preprocess,
+                       stochastic=stochastic)
+    )
+    eval_rng = jax.random.PRNGKey(seed)
 
     if not is_tuple:
         # wrap plain frame datasets so the same loader/batch path applies
@@ -98,7 +110,17 @@ def evaluate(
         if progress and batch_idx % 10 == 0:
             print(f"Batch {batch_idx} / {len(loader)}")
 
-        _, output = eval_step(state, jnp.asarray(imgs))
+        x = jnp.asarray(imgs)
+        if not is_tuple:
+            # PoseNet consumes (B, H, W, C); the _Single wrapper added a
+            # frame axis only for uniform loader/batch bookkeeping
+            x = x[:, 0]
+        if stochastic:
+            _, output = eval_step(
+                state, x, None, jax.random.fold_in(eval_rng, batch_idx)
+            )
+        else:
+            _, output = eval_step(state, x)
         output = np.asarray(output, np.float64)  # (B, T, 6)
         if output.ndim == 2:
             output = output[:, None, :]
@@ -214,6 +236,22 @@ def main(argv=None):
     parser.add_argument("--data_path", type=str, default="data/deepslam_data")
     parser.add_argument("--asset_root", type=str, default="data")
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument(
+        "--host_normalize", action="store_true",
+        help="normalize images on the host (float32 transfer) instead of the "
+        "default device-side pipeline (uint8 transfer, 4x smaller)",
+    )
+    parser.add_argument(
+        "--eval_dropout", action="store_true",
+        help="keep dropout active at eval (the reference's ungated F.dropout "
+        "quirk; its published numbers include it)",
+    )
+    parser.add_argument(
+        "--raw_bayer", action="store_true",
+        help="RobotCar only: raw Bayer mosaics + fused on-device "
+        "demosaic/[undistort]/resize/normalize",
+    )
+    parser.add_argument("--camera_models_dir", type=str, default=None)
     args = parser.parse_args(argv)
 
     config = parse_ini(args.config_file)
@@ -258,13 +296,29 @@ def main(argv=None):
         args.data_path if args.dataset == "synth"
         else f"{args.data_path}/{args.dataset}"
     )
-    tf = build_transform(args.dataset, args.scene, config, args.asset_root,
-                         train=False, seed=config.seed)
+    if args.raw_bayer:
+        if args.dataset != "RobotCar":
+            parser.error("--raw_bayer requires --dataset RobotCar")
+        preprocess = build_raw_device_preprocess(
+            args.scene, args.asset_root, dtype=dtype,
+            camera_models_dir=args.camera_models_dir,
+        )
+    elif args.host_normalize:
+        preprocess = None
+    else:
+        preprocess = build_device_preprocess(args.dataset, args.scene,
+                                             args.asset_root, dtype=dtype)
+    tf = build_transform(
+        args.dataset, args.scene, config, args.asset_root,
+        train=False, seed=config.seed,
+        keep_uint8=preprocess is not None and not args.raw_bayer,
+    )
     frames = build_frame_dataset(
         args.dataset, args.scene, data_path, train, config, transform=tf,
         real=config.real if use_tuples else False,
         asset_root=args.asset_root,
         vo_lib=config.vo_lib if args.pose_graph else None,
+        raw_bayer=args.raw_bayer,
     )
     if use_tuples:
         gt_frames = None
@@ -300,7 +354,8 @@ def main(argv=None):
     results = evaluate(
         model, state, dataset, batch_size=args.batch_size,
         pose_stats=pose_stats, pose_graph=args.pose_graph, fc_vos=fc_vos,
-        pgo_weights=pgo_weights,
+        pgo_weights=pgo_weights, preprocess=preprocess,
+        stochastic=args.eval_dropout, seed=config.seed,
     )
 
     print(

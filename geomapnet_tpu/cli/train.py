@@ -22,7 +22,14 @@ import jax.numpy as jnp
 
 from ..models import load_npz, merge_variables
 from ..train.loop import Trainer
-from .builders import build_criteria, build_datasets, build_model, experiment_name
+from .builders import (
+    build_criteria,
+    build_datasets,
+    build_device_preprocess,
+    build_model,
+    build_raw_device_preprocess,
+    experiment_name,
+)
 from .config import parse_ini
 
 
@@ -50,11 +57,40 @@ def main(argv=None):
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute dtype")
     parser.add_argument("--no_mesh", action="store_true")
+    parser.add_argument(
+        "--host_normalize", action="store_true",
+        help="normalize images on the host (float32 transfer) instead of the "
+        "default device-side pipeline (uint8 transfer, 4x smaller)",
+    )
+    parser.add_argument(
+        "--raw_bayer", action="store_true",
+        help="RobotCar only: load raw Bayer mosaics and run demosaic/"
+        "[undistort]/resize/normalize fused on device (no offline "
+        "process_robotcar_images step needed)",
+    )
+    parser.add_argument(
+        "--camera_models_dir", type=str, default=None,
+        help="RobotCar camera model dir for on-device undistortion with "
+        "--raw_bayer (omit to skip undistortion)",
+    )
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a JAX profiler trace of early batches")
     parser.add_argument("--debug_nans", action="store_true",
                         help="fail fast on the first NaN in jitted code")
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="emit TensorBoard event files next to metrics.jsonl")
+    parser.add_argument(
+        "--distributed", action="store_true",
+        help="initialize jax.distributed for multi-host (pod) training; "
+        "coordinator discovered from the TPU launcher environment",
+    )
     args = parser.parse_args(argv)
+
+    if args.distributed:
+        from ..parallel import initialize_distributed
+
+        idx, count = initialize_distributed()
+        print(f"jax.distributed: process {idx}/{count}")
 
     config = parse_ini(args.config_file)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
@@ -67,9 +103,24 @@ def main(argv=None):
         args.data_path if args.dataset == "synth"
         else f"{args.data_path}/{args.dataset}"
     )
+    if args.raw_bayer:
+        if args.dataset != "RobotCar":
+            parser.error("--raw_bayer requires --dataset RobotCar")
+        preprocess = build_raw_device_preprocess(
+            args.scene, args.asset_root, dtype=dtype,
+            camera_models_dir=args.camera_models_dir,
+        )
+    elif args.host_normalize:
+        preprocess = None
+    else:
+        preprocess = build_device_preprocess(
+            args.dataset, args.scene, args.asset_root, dtype=dtype
+        )
     train_set, val_set = build_datasets(
         args.model, args.dataset, args.scene, data_path, config,
         asset_root=args.asset_root,
+        keep_uint8=preprocess is not None and not args.raw_bayer,
+        raw_bayer=args.raw_bayer,
     )
 
     name = experiment_name(
@@ -81,6 +132,7 @@ def main(argv=None):
         val_criterion=val_criterion, checkpoint=args.checkpoint,
         resume_optim=args.resume_optim, use_mesh=not args.no_mesh,
         profile_dir=args.profile_dir, debug_nans=args.debug_nans,
+        preprocess=preprocess, tensorboard=args.tensorboard,
     )
 
     if args.pretrained_npz:

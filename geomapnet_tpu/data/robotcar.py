@@ -46,6 +46,15 @@ class RobotCar:
         path; prefer offline preprocessing via cli.tools or the device kernel)
     :param vo_lib: 'stereo' (vo.csv) or 'gps' (gps_ins.csv) for real=True
     :param asset_dir: processed-assets root (defaults to ``data/RobotCar``)
+    :param use_native: decode+resize offline-processed RGB images with the
+        C++ batch decoder (geomapnet_tpu.native) instead of PIL
+    :param native_size: (H, W) for the native decode path
+    :param raw_bayer: return the raw single-channel Bayer mosaic uint8
+        (H, W) with NO host processing — the TPU-native fast path: the fused
+        device pipeline (ops.make_device_pipeline(bayer=True)) demosaics,
+        undistorts, resizes and normalizes on-chip. ``transform`` is ignored.
+    :param raw_size: expected (H, W) of raw mosaics (RobotCar Grasshopper2:
+        960x1280)
     """
 
     def __init__(
@@ -62,12 +71,20 @@ class RobotCar:
         vo_lib: str = "stereo",
         asset_dir: str | None = None,
         camera_models_dir: str | None = None,
+        use_native: bool = False,
+        native_size: tuple[int, int] | None = None,
+        raw_bayer: bool = False,
+        raw_size: tuple[int, int] = (960, 1280),
     ):
         np.random.seed(seed)
         self.transform = transform
         self.target_transform = target_transform
         self.skip_images = skip_images
         self.undistort = undistort
+        self.use_native = use_native
+        self.native_size = native_size or (256, 341)
+        self.raw_bayer = raw_bayer
+        self.raw_size = raw_size
         base_dir = Path(os.path.expanduser(data_path)) / scene
         data_dir = Path(asset_dir or Path("data") / "RobotCar") / scene
 
@@ -143,6 +160,31 @@ class RobotCar:
     def get_image(self, index: int):
         if self.skip_images:
             return None
+        if self.raw_bayer:
+            from .. import native
+
+            if native.available():
+                batch, ok = native.decode_batch_gray(
+                    [self.imgs[index]], *self.raw_size, n_threads=1
+                )
+                return batch[0] if ok[0] else None
+            try:
+                raw = np.asarray(Image.open(self.imgs[index]))
+            except (IOError, OSError) as e:
+                print(f"Could not load image {self.imgs[index]}: {e}")
+                return None
+            if raw.ndim != 2 or raw.shape != self.raw_size:
+                return None
+            return raw.astype(np.uint8)
+        if self.use_native:
+            from .. import native
+
+            img = native.decode_image(self.imgs[index], *self.native_size)
+            if img is None:
+                return None
+            if self.transform is not None:
+                return self.transform(img)
+            return img
         if self.undistort:
             img = load_stereo_image(self.imgs[index], self._camera_model)
             if img is None:

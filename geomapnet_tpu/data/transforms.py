@@ -129,12 +129,15 @@ class ImageTransform:
     :param color_jitter_strength: b/c/s jitter amount (hue fixed at 0.5 when
         active, matching /root/reference/scripts/train.py:124-125)
     :param rng: RandomState for jitter
+    :param keep_uint8: emit resized uint8 (for the device-side pipeline:
+        normalize/cast happen on-device, host->device transfer is 4x smaller)
     """
 
     resize: int | None = 256
     normalize: Normalize | None = None
     color_jitter_strength: float = 0.0
     rng: np.random.RandomState | None = None
+    keep_uint8: bool = False
 
     def __call__(self, img) -> np.ndarray:
         if isinstance(img, np.ndarray):
@@ -155,6 +158,8 @@ class ImageTransform:
                 saturation=self.color_jitter_strength,
                 hue=0.5,
             ).astype(np.float32)
+        if self.keep_uint8:
+            return np.clip(arr, 0, 255).astype(np.uint8)
         arr = arr / 255.0
         if self.normalize is not None:
             arr = self.normalize(arr)

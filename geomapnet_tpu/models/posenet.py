@@ -64,8 +64,14 @@ class PoseNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        """(N, H, W, 3) -> (N, 6) ``[xyz, log-q]`` poses."""
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 stochastic: bool = False) -> jnp.ndarray:
+        """(N, H, W, 3) -> (N, 6) ``[xyz, log-q]`` poses.
+
+        ``stochastic=True`` keeps dropout active with ``train=False`` (BN in
+        inference mode) — reproducing the reference's always-on ``F.dropout``
+        quirk whose published eval numbers include it (see below).
+        """
         trunk = self.feature_extractor
         if trunk is None:
             trunk = resnet34(self.dtype, name="feature_extractor")
@@ -81,9 +87,11 @@ class PoseNet(nn.Module):
         if self.droprate > 0:
             # The reference calls F.dropout without gating on eval mode, so its
             # published eval numbers include active dropout (/root/reference/
-            # models/posenet.py:68-69). We gate on `train` (deterministic
-            # eval); pass train=True at inference to reproduce the quirk.
-            feats = nn.Dropout(rate=self.droprate, deterministic=not train)(feats)
+            # models/posenet.py:68-69). We default to deterministic eval;
+            # `stochastic=True` reproduces the quirk for parity runs.
+            feats = nn.Dropout(
+                rate=self.droprate, deterministic=not (train or stochastic)
+            )(feats)
 
         xyz = dense(3, "fc_xyz")(feats)
         wpqr = dense(3, "fc_wpqr")(feats)
@@ -98,8 +106,10 @@ class MapNet(nn.Module):
     posenet: PoseNet
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 stochastic: bool = False) -> jnp.ndarray:
         """(N, T, H, W, C) -> (N, T, 6)."""
         n, t = x.shape[0], x.shape[1]
-        poses = self.posenet(x.reshape((n * t,) + x.shape[2:]), train=train)
+        poses = self.posenet(x.reshape((n * t,) + x.shape[2:]), train=train,
+                             stochastic=stochastic)
         return poses.reshape((n, t, -1))

@@ -18,7 +18,13 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["available", "decode_batch", "decode_image", "lib_path"]
+__all__ = [
+    "available",
+    "decode_batch",
+    "decode_batch_gray",
+    "decode_image",
+    "lib_path",
+]
 
 _LIB = None
 _TRIED = False
@@ -48,6 +54,12 @@ def _load():
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.gm_decode_batch.restype = ctypes.c_int
+    lib.gm_decode_batch_gray.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.gm_decode_batch_gray.restype = ctypes.c_int
     _LIB = lib
     return lib
 
@@ -90,6 +102,30 @@ def decode_batch(paths, out_h: int, out_w: int, n_threads: int = 4
     lib.gm_decode_batch(
         arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out_h, out_w, n_threads,
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out, ok.astype(bool)
+
+
+def decode_batch_gray(paths, h: int, w: int, n_threads: int = 4
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode raw single-channel (Bayer) PNGs into (N, h, w) uint8.
+
+    No resize and no channel promotion — the mosaic ships to the device
+    intact for the fused demosaic pipeline (geomapnet_tpu.ops). Images whose
+    native size differs from (h, w) are flagged failed in the ok mask.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built; run "
+                           "`python -m geomapnet_tpu.native.build`")
+    n = len(paths)
+    out = np.empty((n, h, w), np.uint8)
+    ok = np.zeros(n, np.uint8)
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    lib.gm_decode_batch_gray(
+        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, n_threads,
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out, ok.astype(bool)

@@ -84,6 +84,62 @@ bool decode_png(const char* path, Image* out) {
   return true;
 }
 
+// Single-channel decode preserving the raw sensor values (RobotCar Bayer
+// mosaics are stored as grayscale PNGs; demosaic happens on the TPU, so any
+// host-side channel promotion or resize would corrupt the mosaic).
+bool decode_png_gray(const char* path, Image* out) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return false;
+  uint8_t header[8];
+  if (fread(header, 1, 8, fp) != 8 || png_sig_cmp(header, 0, 8)) {
+    fclose(fp);
+    return false;
+  }
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return false;
+  }
+  png_init_io(png, fp);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+
+  png_set_strip_16(png);
+  png_set_expand_gray_1_2_4_to_8(png);
+  png_set_strip_alpha(png);
+  int color = png_get_color_type(png, info);
+  if (color != PNG_COLOR_TYPE_GRAY && color != PNG_COLOR_TYPE_GRAY_ALPHA) {
+    // mosaic files are grayscale; anything else is not a raw Bayer frame
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return false;
+  }
+  png_read_update_info(png, info);
+
+  out->w = png_get_image_width(png, info);
+  out->h = png_get_image_height(png, info);
+  size_t rowbytes = png_get_rowbytes(png, info);
+  out->data.resize(rowbytes * out->h);
+  std::vector<png_bytep> rows(out->h);
+  for (int y = 0; y < out->h; ++y) rows[y] = out->data.data() + y * rowbytes;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(fp);
+
+  if (rowbytes != static_cast<size_t>(out->w)) {
+    for (int y = 1; y < out->h; ++y) {
+      memmove(out->data.data() + static_cast<size_t>(y) * out->w,
+              out->data.data() + static_cast<size_t>(y) * rowbytes,
+              static_cast<size_t>(out->w));
+    }
+    out->data.resize(static_cast<size_t>(out->h) * out->w);
+  }
+  return true;
+}
+
 bool decode_jpeg(const char* path, Image* out) {
   FILE* fp = fopen(path, "rb");
   if (!fp) return false;
@@ -205,6 +261,31 @@ int gm_decode_batch(const char** paths, int n, uint8_t* out, int out_h,
   auto worker = [&]() {
     for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
       bool success = load_one(paths[i], out + i * stride, out_h, out_w);
+      if (ok) ok[i] = success ? 1 : 0;
+      if (success) good.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+  return good.load();
+}
+
+// Decode `n` single-channel (Bayer-mosaic) PNGs at NATIVE resolution into a
+// contiguous (n, h, w) uint8 buffer — no resize, no channel promotion (the
+// mosaic goes to the accelerator raw). Images whose dimensions differ from
+// (h, w) are flagged failed. Returns the number decoded successfully.
+int gm_decode_batch_gray(const char** paths, int n, uint8_t* out, int h,
+                         int w, int n_threads, uint8_t* ok) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0), good(0);
+  const size_t stride = static_cast<size_t>(h) * w;
+  auto worker = [&]() {
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      Image img;
+      bool success = decode_png_gray(paths[i], &img) && img.h == h && img.w == w;
+      if (success) memcpy(out + i * stride, img.data.data(), stride);
       if (ok) ok[i] = success ? 1 : 0;
       if (success) good.fetch_add(1);
     }

@@ -206,6 +206,18 @@ def make_device_pipeline(
 
     @jax.jit
     def pipeline(raw: jnp.ndarray) -> jnp.ndarray:
+        # tuple batches (N, T, ...) fold the frame axis into the batch for
+        # the duration of the per-image stages (mirrors MapNet's reshape)
+        tuple_shape = None
+        if raw.ndim == (4 if bayer else 5):
+            tuple_shape = raw.shape[:2]
+            raw = raw.reshape((-1,) + raw.shape[2:])
+        out = _pipeline_flat(raw)
+        if tuple_shape is not None:
+            out = out.reshape(tuple_shape + out.shape[1:])
+        return out
+
+    def _pipeline_flat(raw: jnp.ndarray) -> jnp.ndarray:
         if bayer:
             # fast path: when undistortion is off and the target fits in half
             # the sensor, demosaic directly at half resolution (no full-res

@@ -1,0 +1,105 @@
+"""Multi-host (DCN) scale-out: process init + global-batch assembly.
+
+The reference is single-process (/root/repo/SURVEY.md §2.8). Scaling a TPU
+pod slice spans multiple host processes, each seeing a local subset of
+devices; the SPMD program is identical on every host. Two pieces make the
+data-parallel loop multi-host-clean:
+
+- :func:`initialize_distributed` — one-call `jax.distributed` setup (no-op
+  for single-process runs, driven by env vars under standard TPU launchers);
+- :func:`make_global_batch` — assemble a globally-sharded `jax.Array` from
+  each process's *local* loader output via
+  ``jax.make_array_from_process_local_data``, so every host feeds only its
+  own devices and no batch data crosses DCN.
+
+Pair with :class:`geomapnet_tpu.data.Loader`'s ``process_index`` /
+``process_count``: every process draws the same seeded permutation and takes
+a disjoint strided slice, so the concatenation of local batches is exactly
+the global batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+
+from .mesh import batch_sharding
+
+__all__ = [
+    "initialize_distributed",
+    "is_distributed",
+    "make_global_batch",
+    "local_batch_size",
+]
+
+_initialized = False
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> tuple[int, int]:
+    """Initialize `jax.distributed` once; returns (process_index, count).
+
+    With no arguments, relies on the TPU launcher environment (the standard
+    path on Cloud TPU pods) — and degrades to a no-op single-process setup
+    when no coordinator is configured, so the same CLI flags work from a
+    laptop to a pod slice.
+    """
+    global _initialized
+    if _initialized or jax.process_count() > 1:
+        _initialized = True
+        return jax.process_index(), jax.process_count()
+    if coordinator_address is not None or num_processes is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        _initialized = True
+    else:
+        try:
+            jax.distributed.initialize()
+            _initialized = True
+        except Exception:
+            # single-process (no coordinator env): nothing to do
+            pass
+    return jax.process_index(), jax.process_count()
+
+
+def is_distributed() -> bool:
+    """True when more than one host process participates."""
+    return jax.process_count() > 1
+
+
+def local_batch_size(global_batch: int, mesh: jax.sharding.Mesh) -> int:
+    """Per-process share of a global batch on this mesh.
+
+    The data axis spans all processes' devices; each process loads
+    ``global_batch / process_count`` samples.
+    """
+    count = jax.process_count()
+    if global_batch % count:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by process count {count}"
+        )
+    return global_batch // count
+
+
+def make_global_batch(batch: Any, mesh: jax.sharding.Mesh, axis: str = "data") -> Any:
+    """Assemble local host arrays into globally-sharded `jax.Array`s.
+
+    Single-process: equivalent to :func:`geomapnet_tpu.parallel.shard_batch`.
+    Multi-process: each process passes its local slice; the result is a
+    global array whose leading dim is ``process_count * local_batch``,
+    sharded over the mesh's data axis with every shard resident on the
+    process that produced it.
+    """
+    sharding = batch_sharding(mesh, axis)
+
+    def _to_global(x):
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree.map(_to_global, batch)

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..data.loader import Loader
 from ..parallel.mesh import make_mesh, shard_batch, shard_step
+from ..parallel.multihost import make_global_batch
 from ..utils.logger import AverageMeter, MetricsWriter, Tee
 from .checkpoint import load_model_params, restore_checkpoint, save_checkpoint
 from .optim import make_optimizer
@@ -46,6 +47,9 @@ class Trainer:
     :param checkpoint: optional checkpoint path to start from
     :param resume_optim: restore optimizer/epoch too (else weights only)
     :param use_mesh: shard batches over all available devices
+    :param preprocess: optional device-side image function fused into the
+        jit'd steps (see :func:`geomapnet_tpu.cli.builders.build_device_preprocess`);
+        the loader should then emit raw uint8 batches (``keep_uint8``)
     """
 
     def __init__(
@@ -63,6 +67,8 @@ class Trainer:
         use_mesh: bool = True,
         profile_dir: str | None = None,
         debug_nans: bool = False,
+        preprocess=None,
+        tensorboard: bool = False,
     ):
         self.model = model
         self.config = config
@@ -75,25 +81,49 @@ class Trainer:
         self.train_criterion = train_criterion
         self.val_criterion = val_criterion or train_criterion
 
+        # multi-host: this process loads 1/process_count of each global batch
+        # (same seeded permutation everywhere, disjoint strided slices); logs
+        # and metrics files are written by process 0 only
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+        if config.batch_size % self.process_count:
+            raise ValueError(
+                f"batch_size {config.batch_size} not divisible by "
+                f"process count {self.process_count}"
+            )
+        local_bs = config.batch_size // self.process_count
+
         self.logdir = Path(logdir_root) / experiment
         self.logdir.mkdir(parents=True, exist_ok=True)
-        self.tee = Tee(self.logdir / "log.txt").install()
-        self.metrics = MetricsWriter(self.logdir / "metrics.jsonl")
+        self.is_main = self.process_index == 0
+        self.tee = (
+            Tee(self.logdir / "log.txt").install() if self.is_main else None
+        )
+        self.metrics = MetricsWriter(
+            self.logdir / "metrics.jsonl", enabled=self.is_main,
+            tensorboard=tensorboard,
+        )
 
         print("---------------------------------------")
         print(f"Experiment: {experiment}")
         for k, v in vars(config).items():
             print(f"{k}: {v}")
         print(f"Devices: {jax.devices()}")
+        if self.process_count > 1:
+            print(f"Process {self.process_index}/{self.process_count}, "
+                  f"local batch {local_bs}")
         print("---------------------------------------")
 
+        loader_kwargs = dict(
+            process_index=self.process_index, process_count=self.process_count,
+        )
         self.train_loader = Loader(
-            train_dataset, config.batch_size, shuffle=config.shuffle,
-            drop_last=True, seed=config.seed,
+            train_dataset, local_bs, shuffle=config.shuffle,
+            drop_last=True, seed=config.seed, **loader_kwargs,
         )
         self.val_loader = (
-            Loader(val_dataset, config.batch_size, shuffle=False,
-                   drop_last=False, seed=config.seed)
+            Loader(val_dataset, local_bs, shuffle=False,
+                   drop_last=False, seed=config.seed, **loader_kwargs)
             if (config.do_val and val_dataset is not None) else None
         )
 
@@ -114,10 +144,14 @@ class Trainer:
         sample_imgs, _, _ = next(iter(
             Loader(train_dataset, 1, shuffle=False, drop_last=True)
         ))
+        sample_imgs = jax.numpy.asarray(sample_imgs)
+        if preprocess is not None:
+            # uint8 device-preprocess path: init the model on the
+            # post-pipeline (float) sample, not the raw transfer dtype
+            sample_imgs = preprocess(sample_imgs)
         self.rng = jax.random.PRNGKey(config.seed)
         self.state = create_train_state(
-            model, train_criterion, self.tx, self.rng,
-            jax.numpy.asarray(sample_imgs),
+            model, train_criterion, self.tx, self.rng, sample_imgs,
         )
 
         self.start_epoch = 0
@@ -132,8 +166,10 @@ class Trainer:
                 print(f"Loaded model weights from {checkpoint}")
 
         self.mesh = make_mesh() if use_mesh else None
-        train_step = make_train_step(model, train_criterion, self.tx)
-        eval_step = make_eval_step(model, self.val_criterion)
+        train_step = make_train_step(model, train_criterion, self.tx,
+                                     preprocess=preprocess)
+        eval_step = make_eval_step(model, self.val_criterion,
+                                   preprocess=preprocess)
         if self.mesh is not None and self.mesh.devices.size > 1:
             self._train_step = shard_step(
                 train_step, self.mesh, n_batch_args=2, n_replicated_args=1,
@@ -147,7 +183,11 @@ class Trainer:
             self._eval_step = jax.jit(eval_step)
 
     def _put(self, imgs, poses):
-        batch = (jax.numpy.asarray(imgs), jax.numpy.asarray(poses))
+        batch = (imgs, poses)
+        if self.process_count > 1:
+            # local numpy shard -> globally-sharded jax.Array over DCN mesh
+            return make_global_batch(batch, self.mesh)
+        batch = tuple(jax.numpy.asarray(x) for x in batch)
         if self.mesh is not None and self.mesh.devices.size > 1:
             batch = shard_batch(batch, self.mesh)
         return batch
@@ -221,8 +261,9 @@ class Trainer:
                         f"lr: {lr:f}"
                     )
                     self.metrics.write(
-                        kind="train", epoch=epoch, batch=batch_idx, loss=loss,
-                        lr=lr, data_time=data_time.avg,
+                        kind="train", step=int(self.state.step), epoch=epoch,
+                        batch=batch_idx, loss=loss, lr=lr,
+                        data_time=data_time.avg,
                         batch_time=batch_time.avg, **cparams,
                     )
                 end = time.time()
@@ -231,4 +272,5 @@ class Trainer:
 
         save_checkpoint(self.logdir, cfg.n_epochs, self.state)
         print(f"Epoch {cfg.n_epochs} checkpoint saved")
-        self.tee.uninstall()
+        if self.tee is not None:
+            self.tee.uninstall()

@@ -56,21 +56,30 @@ def create_train_state(
 
 
 def make_train_step(
-    model, criterion, tx: optax.GradientTransformation
+    model, criterion, tx: optax.GradientTransformation, preprocess=None
 ) -> Callable:
     """Build the pure train step: (state, images, targets, rng) -> (state, loss).
 
     Equivalent of ``step_feedfwd(train=True)``
     (/root/reference/common/train.py:322-363) — but traced once and compiled.
+
+    :param preprocess: optional device-side image function (e.g. a
+        :func:`geomapnet_tpu.ops.image.make_device_pipeline`) fused into the
+        step, letting the host ship raw uint8 batches (4x less transfer than
+        normalized float32).
     """
 
     def train_step(state: TrainState, images, targets, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
+        if preprocess is not None:
+            images_p = preprocess(images)
+        else:
+            images_p = images
 
         def loss_fn(params):
             out, mutated = model.apply(
                 {"params": params["model"], "batch_stats": state.batch_stats},
-                images,
+                images_p,
                 train=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": dropout_rng},
@@ -96,19 +105,32 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model, criterion=None) -> Callable:
-    """Build the pure eval step: (state, images, targets) -> (loss, outputs).
+def make_eval_step(model, criterion=None, preprocess=None,
+                   stochastic: bool = False) -> Callable:
+    """Build the pure eval step: (state, images, targets[, rng]) -> (loss, outputs).
 
     Equivalent of ``step_feedfwd(train=False)``
     (/root/reference/common/train.py:322-363). With ``criterion=None`` it is
-    pure inference and the loss is 0.
+    pure inference and the loss is 0. ``preprocess`` fuses a device-side
+    image pipeline ahead of the model (raw uint8 in).
+
+    ``stochastic=True`` keeps dropout active with BN in inference mode —
+    the reference's ungated ``F.dropout`` quirk (/root/reference/models/
+    posenet.py:68-69), whose published eval numbers include it. The step then
+    takes a required ``rng`` argument.
     """
 
-    def eval_step(state: TrainState, images, targets=None):
+    def eval_step(state: TrainState, images, targets=None, rng=None):
+        if preprocess is not None:
+            images = preprocess(images)
+        kwargs = {}
+        if stochastic:
+            kwargs = {"stochastic": True, "rngs": {"dropout": rng}}
         out = model.apply(
             {"params": state.params["model"], "batch_stats": state.batch_stats},
             images,
             train=False,
+            **kwargs,
         )
         if criterion is None or targets is None:
             return jnp.zeros(()), out

@@ -64,17 +64,50 @@ class AverageMeter:
 
 
 class MetricsWriter:
-    """Append-only JSONL metrics stream with wall-clock stamps."""
+    """Append-only JSONL metrics stream with wall-clock stamps.
 
-    def __init__(self, path: str | Path):
+    :param enabled: no-op writer when False (non-zero processes in a
+        multi-host run)
+    :param tensorboard: also emit TensorBoard event files next to the JSONL
+        (scalars only; numeric fields are tagged ``<kind>/<field>`` and keyed
+        by ``step`` when present, else by write count)
+    """
+
+    def __init__(self, path: str | Path, enabled: bool = True,
+                 tensorboard: bool = False):
+        self.enabled = enabled
         self.path = Path(path)
+        self._f = None
+        self._tb = None
+        self._n = 0
+        self._t0 = time.time()
+        if not enabled:
+            return
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._f = open(self.path, "a", buffering=1)
-        self._t0 = time.time()
+        if tensorboard:
+            # torch import is heavy on this host; only pay it when asked
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(log_dir=str(self.path.parent / "tb"))
 
     def write(self, **fields) -> None:
+        if not self.enabled:
+            return
         fields.setdefault("t", round(time.time() - self._t0, 3))
         self._f.write(json.dumps(fields) + "\n")
+        self._n += 1
+        if self._tb is not None:
+            kind = fields.get("kind", "metrics")
+            step = int(fields.get("step", self._n))
+            for k, v in fields.items():
+                if k in ("kind", "step", "t"):
+                    continue
+                if isinstance(v, (int, float)):
+                    self._tb.add_scalar(f"{kind}/{k}", v, step)
 
     def close(self) -> None:
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
+        if self._tb is not None:
+            self._tb.close()

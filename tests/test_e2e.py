@@ -82,3 +82,19 @@ def test_pgo_eval_path(trained):
                    progress=False)
     assert np.isfinite(res["median_t"])
     assert res["pred_poses"].shape[1] == 7
+
+
+def test_posenet_single_frame_eval():
+    """Non-tuple (PoseNet) eval path: _Single wrapper batch handling."""
+    from geomapnet_tpu.losses import PoseNetCriterion
+    from geomapnet_tpu.train import create_train_state, make_optimizer
+
+    model = PoseNet(feature_extractor=resnet18(), feat_dim=32, droprate=0.0)
+    criterion = PoseNetCriterion()
+    tx = make_optimizer("adam", 1e-3)
+    ds = SyntheticScene(n_frames=10, height=32, width=48, train=False)
+    x0 = jnp.asarray(ds[0][0][None])
+    state = create_train_state(model, criterion, tx, jax.random.PRNGKey(0), x0)
+    res = evaluate(model, state, ds, batch_size=4, progress=False)
+    assert res["pred_poses"].shape == (10, 7)
+    assert np.isfinite(res["median_t"]) and np.isfinite(res["median_q"])

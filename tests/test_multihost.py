@@ -1,0 +1,95 @@
+"""Multi-host helpers (single-process semantics) + metrics writer options.
+
+True multi-process DCN runs need a pod; here we verify the single-process
+degenerate path is exact (make_global_batch == shard_batch placement) and the
+per-process loader slicing composes to the global order, which is the
+contract the multi-host batch assembly relies on.
+"""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from geomapnet_tpu.data import Loader
+from geomapnet_tpu.parallel import (
+    initialize_distributed,
+    local_batch_size,
+    make_global_batch,
+    make_mesh,
+    shard_batch,
+)
+from geomapnet_tpu.utils.logger import MetricsWriter
+
+
+class _Range:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return np.full((2, 3), i, np.float32), np.full((6,), i, np.float32)
+
+
+def test_initialize_distributed_single_process():
+    idx, count = initialize_distributed()
+    assert (idx, count) == (0, 1)
+
+
+def test_local_batch_size():
+    mesh = make_mesh()
+    assert local_batch_size(16, mesh) == 16  # single process
+
+
+def test_make_global_batch_matches_shard_batch():
+    mesh = make_mesh()
+    imgs = np.arange(8 * 2 * 3, dtype=np.float32).reshape(8, 2, 3)
+    poses = np.arange(8 * 6, dtype=np.float32).reshape(8, 6)
+    g = make_global_batch((imgs, poses), mesh)
+    s = shard_batch((jnp.asarray(imgs), jnp.asarray(poses)), mesh)
+    for a, b in zip(g, s):
+        assert a.sharding == b.sharding
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_process_sharded_loaders_compose_to_global_batch():
+    """Concatenating every process's local batch = the global batch."""
+    n, bs, count = 24, 8, 4
+    ds = _Range(n)
+    global_loader = Loader(ds, bs, shuffle=True, seed=3)
+    locals_ = [
+        Loader(ds, bs // count, shuffle=True, seed=3,
+               process_index=p, process_count=count)
+        for p in range(count)
+    ]
+    for global_b, *local_bs_ in zip(
+        global_loader, *locals_
+    ):
+        # same seeded permutation: process p holds order[p::count], so the
+        # interleave of local batches is a permutation of the global batch
+        g = set(global_b[0][:, 0, 0].tolist())
+        l = set(
+            np.concatenate([lb[0] for lb in local_bs_])[:, 0, 0].tolist()
+        )
+        assert g == l
+
+
+def test_metrics_writer_disabled(tmp_path):
+    w = MetricsWriter(tmp_path / "m.jsonl", enabled=False)
+    w.write(kind="train", loss=1.0)
+    w.close()
+    assert not (tmp_path / "m.jsonl").exists()
+
+
+def test_metrics_writer_tensorboard(tmp_path):
+    w = MetricsWriter(tmp_path / "m.jsonl", tensorboard=True)
+    w.write(kind="train", step=1, loss=0.5, lr=1e-4)
+    w.write(kind="val", epoch=0, loss=0.4)
+    w.close()
+    lines = [json.loads(x) for x in open(tmp_path / "m.jsonl")]
+    assert lines[0]["loss"] == 0.5
+    events = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+    assert events and events[0].stat().st_size > 0

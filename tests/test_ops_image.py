@@ -109,3 +109,42 @@ class TestPallasKernel:
             np.testing.assert_allclose(out, ref, atol=1e-6)
         finally:
             pl.pallas_call = orig
+
+
+class TestTupleBatchPipeline:
+    def test_bayer_tuple_batch_matches_flat(self):
+        rng = np.random.RandomState(0)
+        raw = rng.randint(0, 256, (2, 3, 16, 24), dtype=np.uint8)
+        pipe = make_device_pipeline(
+            mean=[0.5] * 3, std=[0.25] * 3, resize_to=(8, 11), bayer=True,
+            dtype=jnp.float32,
+        )
+        tup = np.asarray(pipe(jnp.asarray(raw)))
+        flat = np.asarray(pipe(jnp.asarray(raw.reshape(6, 16, 24))))
+        assert tup.shape == (2, 3, 8, 11, 3)
+        np.testing.assert_array_equal(tup.reshape(6, 8, 11, 3), flat)
+
+    def test_rgb_tuple_batch(self):
+        rng = np.random.RandomState(1)
+        raw = rng.randint(0, 256, (2, 2, 12, 16, 3), dtype=np.uint8)
+        pipe = make_device_pipeline(mean=[0.5] * 3, std=[0.5] * 3,
+                                    dtype=jnp.float32)
+        out = np.asarray(pipe(jnp.asarray(raw)))
+        assert out.shape == (2, 2, 12, 16, 3)
+
+    def test_build_raw_device_preprocess(self, tmp_path):
+        from geomapnet_tpu.cli.builders import build_raw_device_preprocess
+
+        scene_dir = tmp_path / "RobotCar" / "loop"
+        scene_dir.mkdir(parents=True)
+        np.savetxt(scene_dir / "stats.txt",
+                   np.stack([[0.4, 0.45, 0.5], [0.04, 0.0625, 0.09]]))
+        pipe = build_raw_device_preprocess(
+            "loop", str(tmp_path), raw_size=(16, 24), resize=8,
+        )
+        raw = np.random.RandomState(2).randint(
+            0, 256, (4, 16, 24), dtype=np.uint8)
+        out = np.asarray(pipe(jnp.asarray(raw)))
+        # shortest-side-8 resize of 16x24 -> 8x12
+        assert out.shape == (4, 8, 12, 3)
+        assert np.isfinite(out).all()

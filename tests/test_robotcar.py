@@ -221,3 +221,77 @@ class TestRobotCarDataset:
         ds = RobotCar("loop", str(raw), train=False,
                       asset_dir=str(assets / "RobotCar"))
         assert len(ds) == 6
+
+
+class TestRawBayerPath:
+    """Raw mosaic -> device pipeline path: host does nothing but decode."""
+
+    def _bayer_scene(self, tmp_path, h=16, w=24, n=4):
+        from PIL import Image
+
+        helper = TestRobotCarDataset()
+        raw, assets = helper.make_scene(tmp_path, n=n)
+        seq = raw / "loop" / "2014-06-26-08-53-56"
+        rng = np.random.RandomState(1)
+        mosaics = {}
+        for p in sorted((seq / "stereo" / "centre").glob("*.png")):
+            m = rng.randint(0, 255, (h, w), dtype=np.uint8)
+            Image.fromarray(m, mode="L").save(p)
+            mosaics[p.name] = m
+        return raw, assets, mosaics
+
+    def test_native_decode_batch_gray(self, tmp_path):
+        from geomapnet_tpu import native
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("native library not built")
+        raw, _, mosaics = self._bayer_scene(tmp_path)
+        seq = raw / "loop" / "2014-06-26-08-53-56" / "stereo" / "centre"
+        paths = sorted(seq.glob("*.png"))
+        batch, ok = native.decode_batch_gray(paths, 16, 24)
+        assert batch.shape == (len(paths), 16, 24)
+        assert ok.all()
+        for i, p in enumerate(paths):
+            np.testing.assert_array_equal(batch[i], mosaics[p.name])
+        # size mismatch flags failure
+        _, ok2 = native.decode_batch_gray(paths, 8, 24)
+        assert not ok2.any()
+
+    def test_dataset_raw_bayer_mode(self, tmp_path):
+        from geomapnet_tpu.data.robotcar import RobotCar
+
+        raw, assets, mosaics = self._bayer_scene(tmp_path)
+        ds = RobotCar("loop", str(raw), train=True,
+                      asset_dir=str(assets / "RobotCar"),
+                      raw_bayer=True, raw_size=(16, 24))
+        img, pose = ds[0]
+        assert img.shape == (16, 24) and img.dtype == np.uint8
+        assert pose.shape == (6,)
+        ts = sorted(mosaics)[0]
+        np.testing.assert_array_equal(img, mosaics[ts])
+
+    def test_raw_batch_through_device_pipeline(self, tmp_path):
+        """Loader-stacked raw mosaics -> fused demosaic/resize/normalize."""
+        import jax.numpy as jnp
+
+        from geomapnet_tpu.data import Loader
+        from geomapnet_tpu.data.robotcar import RobotCar
+        from geomapnet_tpu.ops import make_device_pipeline
+
+        raw, assets, _ = self._bayer_scene(tmp_path)
+        ds = RobotCar("loop", str(raw), train=True,
+                      asset_dir=str(assets / "RobotCar"),
+                      raw_bayer=True, raw_size=(16, 24))
+        imgs, poses, pad = next(iter(
+            Loader(ds, 4, shuffle=False, drop_last=False)
+        ))
+        assert imgs.shape == (4, 16, 24) and imgs.dtype == np.uint8
+        pipe = make_device_pipeline(
+            mean=[0.5] * 3, std=[0.25] * 3, resize_to=(8, 11), bayer=True,
+            dtype=jnp.float32,
+        )
+        out = np.asarray(pipe(jnp.asarray(imgs)))
+        assert out.shape == (4, 8, 11, 3)
+        assert np.isfinite(out).all()

@@ -139,3 +139,95 @@ class TestSharding:
         )
         got_w = np.asarray(jax.tree.leaves(got_state.params["model"])[0])
         np.testing.assert_allclose(got_w, ref_w, atol=1e-5)
+
+
+class TestDevicePreprocess:
+    """The uint8 host -> device-normalize path (4x smaller transfers)."""
+
+    def test_uint8_transform_matches_host_normalize(self):
+        from geomapnet_tpu.data.transforms import ImageTransform, Normalize
+        from geomapnet_tpu.ops.image import normalize as device_normalize
+
+        img = np.random.RandomState(0).randint(
+            0, 256, (32, 48, 3)
+        ).astype(np.uint8)
+        mean, std = (0.4, 0.45, 0.5), (0.2, 0.25, 0.3)
+        host = ImageTransform(resize=None, normalize=Normalize(mean, std))(img)
+        u8 = ImageTransform(resize=None, keep_uint8=True)(img)
+        assert u8.dtype == np.uint8
+        dev = np.asarray(device_normalize(jnp.asarray(u8), mean, std))
+        np.testing.assert_allclose(dev, host, atol=1e-5)
+
+    def test_steps_fuse_preprocess(self, setup):
+        from geomapnet_tpu.ops.image import normalize as device_normalize
+
+        model, criterion, tx, state = setup
+        mean, std = (0.5,) * 3, (0.25,) * 3
+
+        def pre(x):
+            return device_normalize(x, mean, std)
+
+        u8 = jnp.asarray(np.random.RandomState(0).randint(
+            0, 256, (2, 3, 32, 32, 3)
+        ).astype(np.uint8))
+        targets = jnp.zeros((2, 3, 6))
+        step = jax.jit(make_train_step(model, criterion, tx, preprocess=pre))
+        _, loss = step(state, u8, targets, jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+
+        _, out_fused = jax.jit(make_eval_step(model, preprocess=pre))(state, u8)
+        _, out_ref = jax.jit(make_eval_step(model))(state, pre(u8))
+        np.testing.assert_allclose(
+            np.asarray(out_fused), np.asarray(out_ref), rtol=1e-4, atol=1e-3
+        )
+
+    def test_builders_device_preprocess(self, tmp_path):
+        from geomapnet_tpu.cli.builders import (
+            build_device_preprocess,
+            build_transform,
+        )
+        from geomapnet_tpu.cli.config import ExperimentConfig
+
+        scene_dir = tmp_path / "7Scenes" / "heads"
+        scene_dir.mkdir(parents=True)
+        mean = np.array([0.4, 0.45, 0.5])
+        var = np.array([0.04, 0.0625, 0.09])
+        np.savetxt(scene_dir / "stats.txt", np.stack([mean, var]))
+
+        cfg = ExperimentConfig()
+        tf_u8 = build_transform("7Scenes", "heads", cfg, str(tmp_path),
+                                train=False, keep_uint8=True)
+        tf_f32 = build_transform("7Scenes", "heads", cfg, str(tmp_path),
+                                 train=False)
+        pre = build_device_preprocess("7Scenes", "heads", str(tmp_path))
+        img = np.random.RandomState(1).randint(
+            0, 256, (24, 32, 3)
+        ).astype(np.uint8)
+        fused = np.asarray(pre(jnp.asarray(tf_u8(img))))
+        np.testing.assert_allclose(fused, tf_f32(img), atol=1e-5)
+        assert build_device_preprocess("synth", "synth", str(tmp_path)) is None
+
+
+class TestStochasticEval:
+    """Reference eval-dropout quirk reproduction (stochastic=True)."""
+
+    def test_stochastic_eval_varies_with_rng(self, setup):
+        model, criterion, tx, state = setup
+        model_do = MapNet(posenet=PoseNet(
+            feature_extractor=resnet18(), feat_dim=32, droprate=0.5))
+        x = jnp.zeros((2, 3, 32, 32, 3))
+        state_do = create_train_state(
+            model_do, criterion, tx, jax.random.PRNGKey(0), x)
+        images = jax.random.normal(jax.random.PRNGKey(3), (2, 3, 32, 32, 3))
+
+        step = jax.jit(make_eval_step(model_do, stochastic=True))
+        _, a = step(state_do, images, None, jax.random.PRNGKey(1))
+        _, b = step(state_do, images, None, jax.random.PRNGKey(2))
+        _, a2 = step(state_do, images, None, jax.random.PRNGKey(1))
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))
+
+        det = jax.jit(make_eval_step(model_do))
+        _, d1 = det(state_do, images)
+        _, d2 = det(state_do, images)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))

@@ -9,6 +9,7 @@ from .image import (
     normalize,
     precompute_undistort_maps,
     resize_bilinear,
+    resize_bilinear_matmul,
     resize_shorter_side_shape,
     undistort,
 )

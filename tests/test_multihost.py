@@ -7,6 +7,7 @@ contract the multi-host batch assembly relies on.
 """
 
 import json
+from pathlib import Path
 
 import numpy as np
 import jax
@@ -93,3 +94,49 @@ def test_metrics_writer_tensorboard(tmp_path):
     assert lines[0]["loss"] == 0.5
     events = list((tmp_path / "tb").glob("events.out.tfevents.*"))
     assert events and events[0].stat().st_size > 0
+
+
+def test_two_process_global_batch(tmp_path):
+    """Real jax.distributed (2 local CPU processes): per-process loader
+    shards assemble into one globally-sharded array with the right values."""
+    import socket
+    import subprocess
+    import sys
+    import textwrap
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    script = tmp_path / "probe.py"
+    script.write_text(textwrap.dedent(f"""
+        import os, sys
+        proc_id = int(sys.argv[1])
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.distributed.initialize(
+            coordinator_address="localhost:{port}",
+            num_processes=2, process_id=proc_id)
+        import numpy as np, jax.numpy as jnp
+        sys.path.insert(0, {str(Path.cwd())!r})
+        from geomapnet_tpu.parallel import make_mesh, make_global_batch
+        mesh = make_mesh()
+        assert jax.process_count() == 2
+        local = np.full((4, 3), float(proc_id), np.float32)
+        g = make_global_batch(local, mesh)
+        assert g.shape == (8, 3), g.shape
+        assert float(jnp.sum(g)) == 12.0
+        print("OK", proc_id)
+    """))
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(i)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=120)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"OK {i}" in out

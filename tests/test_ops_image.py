@@ -1,6 +1,7 @@
 """Device image-pipeline tests: demosaic/undistort/resize/normalize parity."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from geomapnet_tpu.data.robotcar_sdk import demosaic_gbrg
@@ -148,3 +149,25 @@ class TestTupleBatchPipeline:
         # shortest-side-8 resize of 16x24 -> 8x12
         assert out.shape == (4, 8, 12, 3)
         assert np.isfinite(out).all()
+
+
+class TestMatmulResize:
+    def test_matches_jax_image_resize(self):
+        from geomapnet_tpu.ops import resize_bilinear_matmul
+
+        rng = np.random.RandomState(0)
+        img = jnp.asarray(rng.rand(2, 3, 20, 32).astype(np.float32) * 255)
+        ref = jax.image.resize(img, (2, 3, 9, 13), method="linear",
+                               antialias=False)
+        got = resize_bilinear_matmul(img, 9, 13)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-3)
+
+    def test_identity(self):
+        from geomapnet_tpu.ops import resize_bilinear_matmul
+
+        img = jnp.asarray(np.random.RandomState(1).rand(1, 3, 8, 16)
+                          .astype(np.float32))
+        out = resize_bilinear_matmul(img, 8, 16)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img),
+                                   atol=1e-6)

@@ -340,6 +340,51 @@ def reverse_vo_poses(args) -> None:
     print(f"{args.output} written ({len(out)} poses)")
 
 
+def export_model(args) -> None:
+    """Export a trained checkpoint as a self-contained serving artifact
+    (StableHLO via jax.export; see :mod:`geomapnet_tpu.serving`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..serving import export_inference
+    from ..train.checkpoint import load_model_params
+    from ..train.optim import make_optimizer
+    from ..train.state import create_train_state
+    from .builders import build_criteria, build_device_preprocess, build_model
+    from .config import parse_ini
+
+    config = parse_ini(args.config_file)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model, is_tuple = build_model(args.model, config, dtype=dtype)
+    criterion, _ = build_criteria(
+        "mapnet" if args.model == "mapnet++" else args.model, config,
+        False, False,
+    )
+    h, w = args.height, args.width
+    frame_shape = (config.steps, h, w, 3) if is_tuple else (h, w, 3)
+    sample = jnp.zeros((1, *frame_shape), dtype)
+    tx = make_optimizer(config.opt, config.lr)
+    state = create_train_state(model, criterion, tx, jax.random.PRNGKey(0),
+                               sample)
+    state = load_model_params(args.weights, state)
+
+    preprocess = None
+    in_dtype = dtype
+    if not args.host_normalize and args.dataset != "synth":
+        preprocess = build_device_preprocess(
+            args.dataset, args.scene, args.asset_root, dtype=dtype
+        )
+        in_dtype = jnp.uint8  # artifact consumes raw resized uint8
+    blob = export_inference(
+        model, state, frame_shape, dtype=in_dtype, preprocess=preprocess,
+        platforms=tuple(args.platforms.split(",")) if args.platforms else None,
+    )
+    with open(args.output, "wb") as f:
+        f.write(blob)
+    print(f"{args.output} written ({len(blob)} bytes, input "
+          f"(b, {', '.join(map(str, frame_shape))}) {in_dtype.__name__})")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="geomapnet_tpu data tools")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -389,6 +434,22 @@ def main(argv=None):
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.set_defaults(fn=reverse_vo_poses)
+
+    p = sub.add_parser("export_model", parents=[common])
+    p.add_argument("--model", required=True,
+                   choices=("posenet", "mapnet", "mapnet++"))
+    p.add_argument("--config_file", required=True)
+    p.add_argument("--weights", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--width", type=int, default=341)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--host_normalize", action="store_true",
+                   help="export a float artifact without the fused uint8 "
+                   "normalize stage")
+    p.add_argument("--platforms", default=None,
+                   help="comma-separated lowering targets, e.g. tpu,cpu")
+    p.set_defaults(fn=export_model)
 
     args = parser.parse_args(argv)
     args.fn(args)

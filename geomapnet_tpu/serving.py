@@ -1,0 +1,89 @@
+"""Model export for serving: ahead-of-time artifacts via ``jax.export``.
+
+The reference has no deployment story — inference means running eval.py with
+the full training stack importable. Here the flagship inference path (the
+device image pipeline fused with the model forward) exports to a serialized
+StableHLO artifact with the weights baked in:
+
+- self-contained: serving needs jax + the artifact, not Flax/this package's
+  model code;
+- batch-polymorphic: the batch dim is symbolic, one artifact serves any
+  batch size;
+- portable: StableHLO recompiles onto whatever backend loads it (TPU
+  serving fleet, CPU canary), with XLA's forward-compatibility guarantees.
+
+Typical flow::
+
+    blob = export_inference(model, state, frame_shape=(3, 256, 341, 3))
+    Path("mapnet.shlo").write_bytes(blob)
+    # ... in the serving process:
+    infer = load_inference("mapnet.shlo")
+    poses = infer(images)          # any batch size
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+__all__ = ["export_inference", "load_inference"]
+
+
+def export_inference(
+    model,
+    state,
+    frame_shape: tuple[int, ...],
+    dtype=jnp.bfloat16,
+    preprocess=None,
+    platforms: tuple[str, ...] | None = None,
+) -> bytes:
+    """Serialize the inference function (weights baked in) to StableHLO.
+
+    :param model: Flax module (PoseNet/MapNet family)
+    :param state: TrainState holding trained params/batch_stats
+    :param frame_shape: per-sample shape WITHOUT the batch dim, e.g.
+        ``(T, H, W, 3)`` for MapNet tuples or ``(H, W, 3)`` for PoseNet
+    :param dtype: input dtype the artifact accepts (uint8 when ``preprocess``
+        handles normalization on device)
+    :param preprocess: optional device-side pipeline fused in front of the
+        model (e.g. :func:`geomapnet_tpu.cli.builders.build_device_preprocess`)
+    :param platforms: lowering platforms (default: current backend). Pass
+        ``("tpu", "cpu")`` for an artifact that loads on both.
+    :returns: serialized artifact bytes
+    """
+    params = jax.device_get(state.params["model"])
+    batch_stats = jax.device_get(state.batch_stats)
+
+    def infer(images):
+        if preprocess is not None:
+            images = preprocess(images)
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            train=False,
+        )
+
+    (batch,) = jax_export.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct((batch, *frame_shape), dtype)
+    exported = jax_export.export(
+        jax.jit(infer),
+        platforms=list(platforms) if platforms else None,
+    )(spec)
+    return exported.serialize()
+
+
+def load_inference(path_or_bytes):
+    """Load a serialized artifact; returns ``infer(images) -> poses``.
+
+    The callable jit-compiles onto the current backend on first use and
+    accepts any batch size (the exported batch dim is symbolic).
+    """
+    blob = (
+        path_or_bytes
+        if isinstance(path_or_bytes, (bytes, bytearray))
+        else Path(path_or_bytes).read_bytes()
+    )
+    exported = jax_export.deserialize(blob)
+    return jax.jit(exported.call)

@@ -209,3 +209,56 @@ class TestResNetTopology:
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
         n = sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
         assert n == 21_797_672 - 513_000
+
+
+class TestVidLoc:
+    """Recurrent baseline (reference models/vidloc.py, CLI-unreachable there;
+    first-class here)."""
+
+    def _model(self):
+        from geomapnet_tpu.models import VidLoc
+
+        return VidLoc(feature_extractor=resnet18(), hidden_size=16,
+                      droprate=0.0)
+
+    def test_forward_shape(self):
+        model = self._model()
+        x = jnp.zeros((2, 4, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(variables, x)
+        assert out.shape == (2, 4, 6)
+        assert out.dtype == jnp.float32
+
+    def test_bidirectional_uses_future_frames(self):
+        """A change in the last frame must affect the first frame's pose."""
+        model = self._model()
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(1, 4, 32, 32, 3).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        base = model.apply(variables, x)
+        x2 = x.at[:, -1].add(1.0)
+        out2 = model.apply(variables, x2)
+        assert not np.allclose(np.asarray(base[0, 0]), np.asarray(out2[0, 0]))
+
+    def test_trains_with_standard_step(self):
+        from geomapnet_tpu.losses import PoseNetCriterion
+        from geomapnet_tpu.train import (
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        model = self._model()
+        criterion = PoseNetCriterion()
+        tx = make_optimizer("adam", 1e-3)
+        x = jnp.zeros((2, 3, 32, 32, 3))
+        state = create_train_state(model, criterion, tx,
+                                   jax.random.PRNGKey(0), x)
+        step = jax.jit(make_train_step(model, criterion, tx))
+        images = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 32, 32, 3))
+        targets = jnp.zeros((2, 3, 6))
+        losses = []
+        for _ in range(5):
+            state, loss = step(state, images, targets, jax.random.PRNGKey(2))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]

@@ -1,0 +1,68 @@
+"""jax.export serving artifacts: roundtrip, batch polymorphism, fused preprocess."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from geomapnet_tpu.losses import MapNetCriterion
+from geomapnet_tpu.models import MapNet, PoseNet, resnet18
+from geomapnet_tpu.serving import export_inference, load_inference
+from geomapnet_tpu.train import create_train_state, make_optimizer
+
+
+def _trained_state():
+    model = MapNet(posenet=PoseNet(
+        feature_extractor=resnet18(), feat_dim=32, droprate=0.0))
+    criterion = MapNetCriterion()
+    tx = make_optimizer("adam", 1e-3)
+    x = jnp.zeros((1, 3, 32, 32, 3))
+    state = create_train_state(model, criterion, tx, jax.random.PRNGKey(0), x)
+    return model, state
+
+
+def test_export_roundtrip_matches_flax(tmp_path):
+    model, state = _trained_state()
+    blob = export_inference(model, state, frame_shape=(3, 32, 32, 3),
+                            dtype=jnp.float32)
+    path = tmp_path / "mapnet.shlo"
+    path.write_bytes(blob)
+    infer = load_inference(path)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 32, 32, 3))
+    ref = model.apply(
+        {"params": state.params["model"], "batch_stats": state.batch_stats},
+        x, train=False,
+    )
+    got = infer(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_batch_polymorphism():
+    model, state = _trained_state()
+    blob = export_inference(model, state, frame_shape=(3, 32, 32, 3),
+                            dtype=jnp.float32)
+    infer = load_inference(blob)
+    for b in (1, 3, 5):
+        out = infer(jnp.zeros((b, 3, 32, 32, 3)))
+        assert out.shape == (b, 3, 6)
+
+
+def test_export_with_fused_preprocess():
+    from geomapnet_tpu.ops.image import normalize as device_normalize
+
+    model, state = _trained_state()
+    mean, std = (0.5,) * 3, (0.25,) * 3
+
+    blob = export_inference(
+        model, state, frame_shape=(3, 32, 32, 3), dtype=jnp.uint8,
+        preprocess=lambda x: device_normalize(x, mean, std),
+    )
+    infer = load_inference(blob)
+    u8 = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, (2, 3, 32, 32, 3)).astype(np.uint8))
+    ref = model.apply(
+        {"params": state.params["model"], "batch_stats": state.batch_stats},
+        device_normalize(u8, mean, std), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(infer(u8)), np.asarray(ref),
+                               rtol=1e-4, atol=1e-3)

@@ -104,7 +104,12 @@ def evaluate(
     targ_poses = np.zeros((L, 7))
     n_images = 0
     t_start = time.time()
-    base = 0
+    # device-side loop: launches are dispatched asynchronously and outputs
+    # stay on device — a single readback at the end instead of one host sync
+    # per batch (each sync costs a full host<->device round trip)
+    dev_outputs = []
+    host_targets = []
+    valids = []
     for batch_idx, (imgs, poses, pad) in enumerate(loader):
         valid = imgs.shape[0] - pad
         if progress and batch_idx % 10 == 0:
@@ -121,44 +126,55 @@ def evaluate(
             )
         else:
             _, output = eval_step(state, x)
-        output = np.asarray(output, np.float64)  # (B, T, 6)
-        if output.ndim == 2:
-            output = output[:, None, :]
+        dev_outputs.append(output if output.ndim == 3 else output[:, None, :])
         targ = np.asarray(poses, np.float64)
-        if targ.ndim == 2:
-            targ = targ[:, None, :]
+        host_targets.append(targ if targ.ndim == 3 else targ[:, None, :])
+        valids.append(valid)
         n_images += valid * steps
 
-        # log-q -> unit quaternion
-        out7 = np.concatenate(
-            [output[..., :3], qexp_np(output[..., 3:])], axis=-1
+    # all launches are in flight; readback after the fact only pays transfer
+    # (no XLA program is compiled for the host-side concatenation)
+    output = np.concatenate(
+        [np.asarray(o, np.float64) for o in dev_outputs]
+    )  # (S, T, 6)
+    elapsed = time.time() - t_start
+    targ = np.concatenate(host_targets)
+
+    # log-q -> unit quaternion
+    out7 = np.concatenate([output[..., :3], qexp_np(output[..., 3:])], axis=-1)
+    targ_abs = targ[:, :steps]
+    targ7 = np.concatenate(
+        [targ_abs[..., :3], qexp_np(targ_abs[..., 3:])], axis=-1
+    )
+
+    if pose_graph:
+        # targets carry [steps abs | VOs]; ALL windows optimize in one
+        # vmapped device launch (~19k windows/s, scripts/bench_pgo.py)
+        vos_log = targ[:, steps:]
+        vos7 = np.concatenate(
+            [vos_log[..., :3], qexp_np(vos_log[..., 3:])], axis=-1
         )
-        targ_abs = targ[:, :steps]
-        targ7 = np.concatenate(
-            [targ_abs[..., :3], qexp_np(targ_abs[..., 3:])], axis=-1
+        out7 = np.asarray(
+            optimize_poses_batch(
+                jnp.asarray(out7, jnp.float32),
+                jnp.asarray(vos7, jnp.float32),
+                fc=fc_vos,
+                **(pgo_weights or {}),
+            ),
+            np.float64,
         )
 
-        if pose_graph:
-            # targets carry [steps abs | VOs]; optimize each tuple on device
-            vos_log = targ[:, steps:]
-            vos7 = np.concatenate(
-                [vos_log[..., :3], qexp_np(vos_log[..., 3:])], axis=-1
-            )
-            out7 = np.asarray(
-                optimize_poses_batch(
-                    jnp.asarray(out7, jnp.float32),
-                    jnp.asarray(vos7, jnp.float32),
-                    fc=fc_vos,
-                    **(pgo_weights or {}),
-                ),
-                np.float64,
-            )
+    # un-normalize translations
+    out7[..., :3] = out7[..., :3] * pose_s + pose_m
+    targ7[..., :3] = targ7[..., :3] * pose_s + pose_m
 
-        # un-normalize translations
-        out7[..., :3] = out7[..., :3] * pose_s + pose_m
-        targ7[..., :3] = targ7[..., :3] * pose_s + pose_m
-
-        # middle-frame selection into the global arrays
+    # middle-frame selection into the global arrays (pad rows skipped)
+    base = 0
+    row = 0
+    for batch_idx, valid in enumerate(valids):
+        batch_rows = (
+            len(host_targets[batch_idx])
+        )
         for b in range(valid):
             sample_idx = base + b
             if is_tuple:
@@ -166,11 +182,10 @@ def evaluate(
                 idx = idx[len(idx) // 2]
             else:
                 idx = sample_idx
-            pred_poses[idx] = out7[b, steps // 2]
-            targ_poses[idx] = targ7[b, steps // 2]
+            pred_poses[idx] = out7[row + b, steps // 2]
+            targ_poses[idx] = targ7[row + b, steps // 2]
         base += valid
-
-    elapsed = time.time() - t_start
+        row += batch_rows
     t_err = translation_error(pred_poses[:, :3], targ_poses[:, :3])
     q_err = quaternion_angular_error(pred_poses[:, 3:], targ_poses[:, 3:])
     return {
@@ -377,7 +392,15 @@ def main(argv=None):
         with open(out / f"{name}.pkl", "wb") as f:
             pickle.dump({"targ_poses": results["targ_poses"],
                          "pred_poses": results["pred_poses"]}, f)
-        print(f"{out / name}.png / .pkl saved")
+        import json
+
+        with open(out / f"{name}_metrics.json", "w") as f:
+            json.dump({
+                k: results[k] for k in
+                ("median_t", "mean_t", "median_q", "mean_q",
+                 "images_per_sec")
+            }, f, indent=2)
+        print(f"{out / name}.png / .pkl / _metrics.json saved")
     return results
 
 

@@ -17,6 +17,7 @@ Usage::
 from __future__ import annotations
 
 import argparse
+from pathlib import Path
 
 import jax.numpy as jnp
 
@@ -49,6 +50,12 @@ def main(argv=None):
     parser.add_argument("--learn_beta", action="store_true")
     parser.add_argument("--learn_gamma", action="store_true")
     parser.add_argument("--resume_optim", action="store_true")
+    parser.add_argument(
+        "--auto_resume", action="store_true",
+        help="resume from the latest epoch_* checkpoint in the experiment "
+        "logdir if one exists (full state: optimizer, epoch, criterion) — "
+        "restart-safe production runs",
+    )
     parser.add_argument("--suffix", type=str, default="")
     parser.add_argument("--data_path", type=str, default="data/deepslam_data")
     parser.add_argument("--asset_root", type=str, default="data")
@@ -127,10 +134,18 @@ def main(argv=None):
         args.dataset, args.scene, args.model, args.config_file,
         args.learn_beta, args.learn_gamma, args.suffix,
     )
+    checkpoint, resume_optim = args.checkpoint, args.resume_optim
+    if args.auto_resume and checkpoint is None:
+        from ..train.checkpoint import latest_checkpoint
+
+        latest = latest_checkpoint(Path("logs") / name)
+        if latest is not None:
+            checkpoint, resume_optim = str(latest), True
+            print(f"Auto-resuming from {latest}")
     trainer = Trainer(
         model, train_criterion, config, name, train_set, val_set,
-        val_criterion=val_criterion, checkpoint=args.checkpoint,
-        resume_optim=args.resume_optim, use_mesh=not args.no_mesh,
+        val_criterion=val_criterion, checkpoint=checkpoint,
+        resume_optim=resume_optim, use_mesh=not args.no_mesh,
         profile_dir=args.profile_dir, debug_nans=args.debug_nans,
         preprocess=preprocess, tensorboard=args.tensorboard,
     )

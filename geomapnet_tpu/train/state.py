@@ -41,8 +41,16 @@ def create_train_state(
     rng: jax.Array,
     sample_input: jnp.ndarray,
 ) -> TrainState:
-    """Initialize model + criterion params and optimizer state."""
-    variables = model.init(rng, sample_input, train=False)
+    """Initialize model + criterion params and optimizer state.
+
+    ``model.init`` runs under one jit: eagerly it dispatches hundreds of
+    tiny per-layer initializer programs (each paying a compile + device
+    round trip — ~2 min of startup on a remote TPU), fused here into a
+    single cached compilation.
+    """
+    variables = jax.jit(
+        lambda r, x: model.init(r, x, train=False)
+    )(rng, sample_input)
     params = {
         "model": variables["params"],
         "criterion": criterion.init_params(),

@@ -46,7 +46,9 @@ def build(dtype):
                         feat_dim=2048, droprate=0.5, dtype=dtype)
     )
     x = jnp.zeros((1, T, H, W, 3), dtype)
-    variables = model.init(jax.random.PRNGKey(0), x)
+    # jitted init: eager init dispatches hundreds of tiny programs (minutes
+    # of startup over the TPU tunnel)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
 
     def forward(params, batch_stats, images):
         return model.apply(

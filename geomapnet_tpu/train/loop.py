@@ -193,13 +193,16 @@ class Trainer:
         return batch
 
     def validate(self, epoch: int) -> float:
-        loss_meter = AverageMeter()
+        # losses accumulate on device; a single readback at the end keeps the
+        # launch queue full (a float() per batch is one host sync per batch)
+        losses, weights = [], []
         batch_time = AverageMeter()
         end = time.time()
         for batch_idx, (imgs, poses, pad) in enumerate(self.val_loader):
             imgs, poses = self._put(imgs, poses)
             loss, _ = self._eval_step(self.state, imgs, poses)
-            loss_meter.update(float(loss), n=imgs.shape[0] - pad)
+            losses.append(loss)
+            weights.append(imgs.shape[0] - pad)
             batch_time.update(time.time() - end)
             end = time.time()
             if batch_idx % self.config.print_freq == 0:
@@ -207,11 +210,13 @@ class Trainer:
                     f"Val {self.experiment}: Epoch {epoch}\t"
                     f"Batch {batch_idx}/{len(self.val_loader) - 1}\t"
                     f"Batch time {batch_time.val:.4f} ({batch_time.avg:.4f})\t"
-                    f"Loss {loss_meter.val:f}"
+                    f"Loss {float(loss):f}"
                 )
-        print(f"Val {self.experiment}: Epoch {epoch}, val_loss {loss_meter.avg:f}")
-        self.metrics.write(kind="val", epoch=epoch, loss=loss_meter.avg)
-        return loss_meter.avg
+        w = np.asarray(weights, np.float64)
+        val_loss = float(np.dot(np.asarray(losses, np.float64), w) / w.sum())
+        print(f"Val {self.experiment}: Epoch {epoch}, val_loss {val_loss:f}")
+        self.metrics.write(kind="val", epoch=epoch, loss=val_loss)
+        return val_loss
 
     def train_val(self) -> None:
         """Run the full schedule (validation / snapshot / train epochs)."""
@@ -243,10 +248,12 @@ class Trainer:
                 self.state, loss = self._train_step(
                     self.state, imgs, poses, self.rng
                 )
-                loss = float(loss)
                 batch_time.update(time.time() - end)
 
                 if batch_idx % cfg.print_freq == 0:
+                    # loss readback only at print points — syncing every
+                    # batch stalls the dispatch pipeline on the host RTT
+                    loss = float(loss)
                     cparams = {
                         k: float(v)
                         for k, v in self.state.params["criterion"].items()

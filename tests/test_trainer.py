@@ -1,0 +1,67 @@
+"""Trainer loop tests: epoch/val/snapshot structure, logs, resume."""
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from geomapnet_tpu.cli.config import ExperimentConfig
+from geomapnet_tpu.data import MF, SyntheticScene
+from geomapnet_tpu.losses import MapNetCriterion
+from geomapnet_tpu.models import MapNet, PoseNet, resnet18
+from geomapnet_tpu.train.loop import Trainer
+
+
+def _build(tmp_path, n_epochs=2, **kw):
+    model = MapNet(posenet=PoseNet(
+        feature_extractor=resnet18(), feat_dim=32, droprate=0.0))
+    criterion = MapNetCriterion(saq=-3.0, srq=-3.0, learn_beta=True,
+                                learn_gamma=True)
+    cfg = ExperimentConfig(
+        n_epochs=n_epochs, batch_size=8, do_val=True, seed=7, snapshot=1,
+        val_freq=1, print_freq=1, opt="adam", lr=2e-3,
+    )
+    train_ds = MF(SyntheticScene(n_frames=32, height=32, width=48), steps=3,
+                  skip=2)
+    val_ds = MF(SyntheticScene(n_frames=16, height=32, width=48, train=False),
+                steps=3, skip=2)
+    return Trainer(
+        model, criterion, cfg, "trainer_test", train_ds, val_ds,
+        logdir_root=str(tmp_path), use_mesh=False, **kw,
+    )
+
+
+def test_train_val_artifacts_and_improvement(tmp_path):
+    trainer = _build(tmp_path)
+    first = trainer.validate(0)
+    trainer.train_val()
+    last = trainer.validate(99)
+    assert last < first
+
+    logdir = tmp_path / "trainer_test"
+    assert (logdir / "log.txt").exists()
+    lines = [json.loads(l) for l in open(logdir / "metrics.jsonl")]
+    kinds = {l["kind"] for l in lines}
+    assert kinds == {"train", "val"}
+    train_lines = [l for l in lines if l["kind"] == "train"]
+    assert {"loss", "lr", "sax", "saq", "srx", "srq"} <= set(train_lines[0])
+    # snapshot every epoch + final
+    assert (logdir / "epoch_000").exists()
+    assert (logdir / "epoch_002").exists()
+
+
+def test_resume_continues_epoch(tmp_path):
+    trainer = _build(tmp_path, n_epochs=1)
+    trainer.train_val()
+    ckpt = tmp_path / "trainer_test" / "epoch_001"
+    assert ckpt.exists()
+    resumed = _build(tmp_path, n_epochs=1, checkpoint=str(ckpt),
+                     resume_optim=True)
+    assert resumed.start_epoch == 1
+    # weights actually restored (not fresh init)
+    import jax
+
+    a = jax.tree.leaves(trainer.state.params["model"])[0]
+    b = jax.tree.leaves(resumed.state.params["model"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -147,7 +147,10 @@ def main(argv=None):
         val_criterion=val_criterion, checkpoint=checkpoint,
         resume_optim=resume_optim, use_mesh=not args.no_mesh,
         profile_dir=args.profile_dir, debug_nans=args.debug_nans,
-        preprocess=preprocess, tensorboard=args.tensorboard,
+        preprocess=preprocess,
+        # `visdom = yes` in reference .ini files maps to the TensorBoard
+        # writer — the live-dashboard equivalent here
+        tensorboard=args.tensorboard or config.visdom,
     )
 
     if args.pretrained_npz:

@@ -191,3 +191,56 @@ class TestLoader:
         loader = Loader(Flaky(self.make_mf(20)), batch_size=4, drop_last=True)
         for imgs, poses, _ in loader:
             assert imgs is not None and np.all(np.isfinite(imgs))
+
+
+class TestSevenScenesModes:
+    """Color/depth/both modes (reference seven_scenes.py:114-158)."""
+
+    def _scene(self, tmp_path, n=3):
+        from PIL import Image
+
+        scene = tmp_path / "raw" / "heads"
+        seq = scene / "seq-01"
+        seq.mkdir(parents=True)
+        with open(scene / "TrainSplit.txt", "w") as f:
+            f.write("sequence1\n")
+        rng = np.random.RandomState(0)
+        for i in range(n):
+            Image.fromarray(
+                rng.randint(0, 255, (16, 24, 3)).astype(np.uint8)
+            ).save(seq / f"frame-{i:06d}.color.png")
+            Image.fromarray(
+                rng.randint(0, 65535, (16, 24)).astype(np.uint16)
+            ).save(seq / f"frame-{i:06d}.depth.png")
+            pose = np.eye(4)
+            pose[:3, 3] = [i, 0, 0]
+            np.savetxt(seq / f"frame-{i:06d}.pose.txt", pose)
+        return tmp_path / "raw", tmp_path / "assets"
+
+    def test_color_mode(self, tmp_path):
+        from geomapnet_tpu.data.sevenscenes import SevenScenes
+
+        raw, assets = self._scene(tmp_path)
+        ds = SevenScenes("heads", str(raw), train=True, mode=0,
+                         asset_dir=str(assets))
+        img, pose = ds[0]
+        assert img.shape == (16, 24, 3)
+        assert pose.shape == (6,)
+
+    def test_depth_mode(self, tmp_path):
+        from geomapnet_tpu.data.sevenscenes import SevenScenes
+
+        raw, assets = self._scene(tmp_path)
+        ds = SevenScenes("heads", str(raw), train=True, mode=1,
+                         asset_dir=str(assets))
+        img, _ = ds[0]
+        assert img.shape[:2] == (16, 24)
+
+    def test_both_mode(self, tmp_path):
+        from geomapnet_tpu.data.sevenscenes import SevenScenes
+
+        raw, assets = self._scene(tmp_path)
+        ds = SevenScenes("heads", str(raw), train=True, mode=2,
+                         asset_dir=str(assets))
+        out, _ = ds[0]
+        assert isinstance(out, list) and len(out) == 2

@@ -153,7 +153,12 @@ def main(argv=None):
         tensorboard=args.tensorboard or config.visdom,
     )
 
-    if args.pretrained_npz:
+    if args.pretrained_npz and checkpoint is not None:
+        # a restored checkpoint already contains trained weights; importing
+        # the npz on top would silently clobber them (e.g. an --auto_resume
+        # restart of a run that was launched with --pretrained_npz)
+        print(f"Checkpoint {checkpoint} restored; ignoring --pretrained_npz")
+    elif args.pretrained_npz:
         imported = load_npz(args.pretrained_npz)
         variables = {
             "params": trainer.state.params["model"],

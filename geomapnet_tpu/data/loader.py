@@ -67,7 +67,11 @@ class Loader:
     def _local_len(self) -> int:
         n = len(self.dataset)
         if self.process_count > 1:
-            n = len(range(self.process_index, n, self.process_count))
+            # truncate to a multiple of process_count so every process sees
+            # the SAME local length — unequal lengths would give processes
+            # different batch counts and deadlock the collective at the
+            # epoch tail
+            n = (n // self.process_count)
         return n
 
     def __len__(self) -> int:
@@ -99,7 +103,10 @@ class Loader:
         if self.shuffle:
             self.rng.shuffle(order)
         if self.process_count > 1:
-            order = order[self.process_index::self.process_count]
+            # equal-length disjoint strided slices of the shared permutation
+            # (tail dropped so all processes agree on the batch count)
+            n_even = len(order) - len(order) % self.process_count
+            order = order[:n_even][self.process_index::self.process_count]
         bs = self.batch_size
         n_full = len(order) // bs
         for b in range(n_full):

@@ -159,7 +159,9 @@ class ImageTransform:
                 hue=0.5,
             ).astype(np.float32)
         if self.keep_uint8:
-            return np.clip(arr, 0, 255).astype(np.uint8)
+            # round, don't truncate: astype floors, which would bias the
+            # uint8 device path ~0.5/255 darker than the float host path
+            return np.clip(np.rint(arr), 0, 255).astype(np.uint8)
         arr = arr / 255.0
         if self.normalize is not None:
             arr = self.normalize(arr)

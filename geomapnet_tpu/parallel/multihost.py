@@ -43,29 +43,35 @@ def initialize_distributed(
 ) -> tuple[int, int]:
     """Initialize `jax.distributed` once; returns (process_index, count).
 
-    With no arguments, relies on the TPU launcher environment (the standard
-    path on Cloud TPU pods) — and degrades to a no-op single-process setup
-    when no coordinator is configured, so the same CLI flags work from a
-    laptop to a pod slice.
+    MUST run before any other JAX call (the XLA backend cannot be
+    re-initialized) — so this queries nothing from jax before calling
+    ``jax.distributed.initialize``. With no arguments it relies on the TPU
+    launcher environment (the standard path on Cloud TPU pods) and degrades
+    to single-process with a warning when no coordinator is configured;
+    with explicit arguments a failure raises (an explicitly requested
+    multi-process setup must never silently become independent runs).
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return jax.process_index(), jax.process_count()
-    if coordinator_address is not None or num_processes is not None:
+    explicit = coordinator_address is not None or num_processes is not None
+    try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
         _initialized = True
-    else:
-        try:
-            jax.distributed.initialize()
-            _initialized = True
-        except Exception:
-            # single-process (no coordinator env): nothing to do
-            pass
+    except Exception as e:
+        if explicit:
+            raise
+        import warnings
+
+        warnings.warn(
+            f"jax.distributed.initialize() failed ({e!r}); continuing "
+            "single-process. On a pod, call initialize_distributed() before "
+            "any other JAX API use."
+        )
     return jax.process_index(), jax.process_count()
 
 
@@ -74,12 +80,9 @@ def is_distributed() -> bool:
     return jax.process_count() > 1
 
 
-def local_batch_size(global_batch: int, mesh: jax.sharding.Mesh) -> int:
-    """Per-process share of a global batch on this mesh.
-
-    The data axis spans all processes' devices; each process loads
-    ``global_batch / process_count`` samples.
-    """
+def local_batch_size(global_batch: int) -> int:
+    """Per-process share of a global batch: each process loads
+    ``global_batch / process_count`` samples of every global batch."""
     count = jax.process_count()
     if global_batch % count:
         raise ValueError(

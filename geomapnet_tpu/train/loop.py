@@ -26,7 +26,7 @@ import numpy as np
 
 from ..data.loader import Loader
 from ..parallel.mesh import make_mesh, shard_batch, shard_step
-from ..parallel.multihost import make_global_batch
+from ..parallel.multihost import local_batch_size, make_global_batch
 from ..utils.logger import AverageMeter, MetricsWriter, Tee
 from .checkpoint import load_model_params, restore_checkpoint, save_checkpoint
 from .optim import make_optimizer
@@ -86,12 +86,7 @@ class Trainer:
         # and metrics files are written by process 0 only
         self.process_index = jax.process_index()
         self.process_count = jax.process_count()
-        if config.batch_size % self.process_count:
-            raise ValueError(
-                f"batch_size {config.batch_size} not divisible by "
-                f"process count {self.process_count}"
-            )
-        local_bs = config.batch_size // self.process_count
+        local_bs = local_batch_size(config.batch_size)
 
         self.logdir = Path(logdir_root) / experiment
         self.logdir.mkdir(parents=True, exist_ok=True)
@@ -165,7 +160,11 @@ class Trainer:
                 self.state = load_model_params(checkpoint, self.state)
                 print(f"Loaded model weights from {checkpoint}")
 
-        self.mesh = make_mesh() if use_mesh else None
+        # multi-host always needs the mesh (global batches are assembled
+        # onto it in _put, whatever use_mesh says)
+        self.mesh = (
+            make_mesh() if (use_mesh or self.process_count > 1) else None
+        )
         train_step = make_train_step(model, train_criterion, self.tx,
                                      preprocess=preprocess)
         eval_step = make_eval_step(model, self.val_criterion,
@@ -202,7 +201,10 @@ class Trainer:
             imgs, poses = self._put(imgs, poses)
             loss, _ = self._eval_step(self.state, imgs, poses)
             losses.append(loss)
-            weights.append(imgs.shape[0] - pad)
+            # imgs is the GLOBAL batch after _put; every process pads its
+            # local tail identically (same local length + batch size), so
+            # global valid count = global rows - local pad * process_count
+            weights.append(imgs.shape[0] - pad * self.process_count)
             batch_time.update(time.time() - end)
             end = time.time()
             if batch_idx % self.config.print_freq == 0:
@@ -215,7 +217,8 @@ class Trainer:
         w = np.asarray(weights, np.float64)
         val_loss = float(np.dot(np.asarray(losses, np.float64), w) / w.sum())
         print(f"Val {self.experiment}: Epoch {epoch}, val_loss {val_loss:f}")
-        self.metrics.write(kind="val", epoch=epoch, loss=val_loss)
+        self.metrics.write(kind="val", epoch=epoch,
+                           step=int(self.state.step), loss=val_loss)
         return val_loss
 
     def train_val(self) -> None:

@@ -41,8 +41,7 @@ def test_initialize_distributed_single_process():
 
 
 def test_local_batch_size():
-    mesh = make_mesh()
-    assert local_batch_size(16, mesh) == 16  # single process
+    assert local_batch_size(16) == 16  # single process
 
 
 def test_make_global_batch_matches_shard_batch():
@@ -78,6 +77,24 @@ def test_process_sharded_loaders_compose_to_global_batch():
         assert g == l
 
 
+def test_process_loaders_equal_batch_counts_with_ragged_dataset():
+    """Indivisible dataset sizes must still give every process the SAME
+    number of batches (unequal counts deadlock collectives at epoch end)."""
+    for n in (13, 15, 17):
+        for drop_last in (True, False):
+            lens = {
+                len(Loader(_Range(n), 7, drop_last=drop_last,
+                           process_index=p, process_count=2))
+                for p in range(2)
+            }
+            assert len(lens) == 1, (n, drop_last, lens)
+            # iteration agrees with __len__
+            for p in range(2):
+                ldr = Loader(_Range(n), 7, drop_last=drop_last,
+                             process_index=p, process_count=2)
+                assert sum(1 for _ in ldr) == len(ldr)
+
+
 def test_metrics_writer_disabled(tmp_path):
     w = MetricsWriter(tmp_path / "m.jsonl", enabled=False)
     w.write(kind="train", loss=1.0)
@@ -86,6 +103,9 @@ def test_metrics_writer_disabled(tmp_path):
 
 
 def test_metrics_writer_tensorboard(tmp_path):
+    import pytest
+
+    pytest.importorskip("tensorboard")
     w = MetricsWriter(tmp_path / "m.jsonl", tensorboard=True)
     w.write(kind="train", step=1, loss=0.5, lr=1e-4)
     w.write(kind="val", epoch=0, loss=0.4)
@@ -116,12 +136,15 @@ def test_two_process_global_batch(tmp_path):
         os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
         import jax
         jax.config.update("jax_platforms", "cpu")
-        jax.distributed.initialize(
-            coordinator_address="localhost:{port}",
-            num_processes=2, process_id=proc_id)
         import numpy as np, jax.numpy as jnp
         sys.path.insert(0, {str(Path.cwd())!r})
-        from geomapnet_tpu.parallel import make_mesh, make_global_batch
+        from geomapnet_tpu.parallel import (
+            initialize_distributed, make_mesh, make_global_batch)
+        # through the production helper (must precede other JAX calls)
+        idx, count = initialize_distributed(
+            coordinator_address="localhost:{port}",
+            num_processes=2, process_id=proc_id)
+        assert (idx, count) == (proc_id, 2), (idx, count)
         mesh = make_mesh()
         assert jax.process_count() == 2
         local = np.full((4, 3), float(proc_id), np.float32)

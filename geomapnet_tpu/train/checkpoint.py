@@ -36,8 +36,34 @@ __all__ = [
 
 
 def save_checkpoint(logdir: str | Path, epoch: int, state: Any) -> Path:
-    """Write ``logdir/epoch_{epoch:03d}`` containing the TrainState + epoch."""
+    """Write ``logdir/epoch_{epoch:03d}`` containing the TrainState + epoch.
+
+    Multi-host: orbax's save is a collective (it runs a cross-process sync
+    barrier), so EVERY process must call it. The train state is replicated,
+    but before the first sharded step its leaves are host-local
+    single-device arrays, which orbax refuses to serialize multi-process —
+    so leaves are first re-assembled as fully-replicated global arrays.
+    """
     path = Path(logdir).absolute() / f"epoch_{epoch:03d}"
+    if jax.process_count() > 1:
+        # the state is replicated, so process 0 alone writes a host copy;
+        # the checkpointer is scoped to {0} so its internal sync barrier
+        # doesn't wait on ranks that never call save, and an explicit
+        # all-rank barrier afterwards keeps epochs aligned
+        from jax.experimental import multihost_utils
+
+        if jax.process_index() == 0:
+            host_state = jax.tree.map(np.asarray, state)
+            ckpt = ocp.StandardCheckpointer(
+                multiprocessing_options=ocp.options.MultiprocessingOptions(
+                    primary_host=0, active_processes={0},
+                )
+            )
+            ckpt.save(path, {"epoch": np.asarray(epoch), "state": host_state},
+                      force=True)
+            ckpt.wait_until_finished()
+        multihost_utils.sync_global_devices(f"save_checkpoint_{path.name}")
+        return path
     ckpt = ocp.StandardCheckpointer()
     ckpt.save(path, {"epoch": np.asarray(epoch), "state": state}, force=True)
     ckpt.wait_until_finished()

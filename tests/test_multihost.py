@@ -163,3 +163,72 @@ def test_two_process_global_batch(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert f"OK {i}" in out
+
+
+def test_two_process_trainer_epoch(tmp_path):
+    """Full Trainer epoch across 2 real processes: per-process loaders feed
+    global batches; the sharded step all-reduces over the 2x2-device mesh;
+    both processes converge on identical train state."""
+    import socket
+    import subprocess
+    import sys
+    import textwrap
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    script = tmp_path / "trainer_probe.py"
+    script.write_text(textwrap.dedent(f"""
+        import os, sys
+        proc_id = int(sys.argv[1])
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        sys.path.insert(0, {str(Path.cwd())!r})
+        from geomapnet_tpu.parallel import initialize_distributed
+        initialize_distributed(coordinator_address="localhost:{port}",
+                               num_processes=2, process_id=proc_id)
+        import numpy as np, jax.numpy as jnp
+        from geomapnet_tpu.cli.config import ExperimentConfig
+        from geomapnet_tpu.data import MF, SyntheticScene
+        from geomapnet_tpu.losses import MapNetCriterion
+        from geomapnet_tpu.models import MapNet, PoseNet, resnet18
+        from geomapnet_tpu.train.loop import Trainer
+
+        model = MapNet(posenet=PoseNet(
+            feature_extractor=resnet18(), feat_dim=16, droprate=0.0))
+        criterion = MapNetCriterion(saq=-3.0, srq=-3.0)
+        cfg = ExperimentConfig(n_epochs=1, batch_size=8, do_val=True, seed=7,
+                               snapshot=50, val_freq=1, print_freq=1,
+                               opt="adam", lr=1e-3)
+        train_ds = MF(SyntheticScene(n_frames=18, height=16, width=24),
+                      steps=2, skip=1)
+        val_ds = MF(SyntheticScene(n_frames=9, height=16, width=24,
+                                   train=False), steps=2, skip=1)
+        t = Trainer(model, criterion, cfg, f"mh_{{proc_id}}", train_ds, val_ds,
+                    logdir_root=sys.argv[2])
+        assert t.process_count == 2
+        assert t.train_loader.batch_size == 4  # local share of global 8
+        t.train_val()
+        w = np.asarray(jax.tree.leaves(t.state.params["model"])[0])
+        np.save(sys.argv[2] + f"/w{{proc_id}}.npy", w)
+        print("DONE", proc_id)
+    """))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert f"DONE {i}" in out
+    w0 = np.load(tmp_path / "w0.npy")
+    w1 = np.load(tmp_path / "w1.npy")
+    np.testing.assert_array_equal(w0, w1)  # replicas stayed in sync
+    # rank-0-only logging
+    assert (tmp_path / "mh_0" / "log.txt").exists()
+    assert not (tmp_path / "mh_1" / "log.txt").exists()

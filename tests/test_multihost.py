@@ -222,7 +222,7 @@ def test_two_process_trainer_epoch(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=420)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"DONE {i}" in out

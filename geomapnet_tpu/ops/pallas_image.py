@@ -53,7 +53,7 @@ def _kernel(raw_ref, out_ref, *, mean, std, h, w):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mean", "std", "dtype", "planar")
+    jax.jit, static_argnames=("mean", "std", "dtype", "planar", "interpret")
 )
 def demosaic_half_normalize(
     raw: jnp.ndarray,
@@ -61,12 +61,17 @@ def demosaic_half_normalize(
     std: tuple[float, float, float],
     dtype=jnp.bfloat16,
     planar: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """(N, H, W) uint8 GBRG -> normalized (N, H/2, W/2, 3) ``dtype``.
 
     ``planar=True`` returns channel-first (N, 3, H/2, W/2) without the final
     relayout (fastest when the consumer accepts planar input).
+    ``interpret`` defaults to True off-TPU so the kernel stays testable on
+    the CPU CI mesh (Mosaic only lowers for TPU).
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     n, h, w = raw.shape
     packed = jax.lax.bitcast_convert_type(
         raw.reshape(n, h, w // 2, 2), jnp.uint16
@@ -90,6 +95,7 @@ def demosaic_half_normalize(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n, 3, h // 2, w // 2), dtype),
+        interpret=interpret,
     )(packed)
     if planar:
         return out

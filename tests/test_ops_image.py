@@ -171,3 +171,28 @@ class TestMatmulResize:
         out = resize_bilinear_matmul(img, 8, 16)
         np.testing.assert_allclose(np.asarray(out), np.asarray(img),
                                    atol=1e-6)
+
+
+class TestPallasKernelInterpret:
+    """Interpret-mode coverage of the fused demosaic kernel (bit-exactness
+    vs the XLA composition; Mosaic lowering itself is validated on TPU)."""
+
+    def test_matches_xla_composition(self):
+        from geomapnet_tpu.ops.image import demosaic_half
+        from geomapnet_tpu.ops.pallas_image import demosaic_half_normalize
+
+        rng = np.random.RandomState(0)
+        raw = jnp.asarray(rng.randint(0, 256, (2, 16, 256), dtype=np.uint8))
+        mean, std = (0.4, 0.45, 0.5), (0.2, 0.25, 0.3)
+        got = demosaic_half_normalize(raw, mean, std, dtype=jnp.float32)
+        ref = (demosaic_half(raw) / 255.0 - jnp.asarray(mean)) / jnp.asarray(std)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_planar_layout(self):
+        from geomapnet_tpu.ops.pallas_image import demosaic_half_normalize
+
+        raw = jnp.zeros((1, 8, 256), jnp.uint8)
+        out = demosaic_half_normalize(raw, (0.0,) * 3, (1.0,) * 3,
+                                      dtype=jnp.float32, planar=True)
+        assert out.shape == (1, 3, 4, 128)

@@ -103,14 +103,17 @@ def gauss_newton_pgo(
     n = poses.shape[0]
     pairs = pair_indices_fc(n) if fc else chain_pairs(n)
     pairs = (jnp.asarray(pairs[0]), jnp.asarray(pairs[1]))
+    # f32 on device by default; follows the input dtype so hosts with x64
+    # enabled can run the solver in float64 (e.g. for parity checks)
+    dtype = jnp.promote_types(jnp.result_type(poses), jnp.float32)
     weights = tuple(
-        1.0 / jnp.sqrt(jnp.asarray(s, jnp.float32)) for s in (sax, saq, srx, srq)
+        1.0 / jnp.sqrt(jnp.asarray(s, dtype)) for s in (sax, saq, srx, srq)
     )
-    poses = poses.astype(jnp.float32)
-    vos = vos.astype(jnp.float32)
+    poses = poses.astype(dtype)
+    vos = vos.astype(dtype)
 
     def body(_, z):
-        x0 = jnp.zeros((n, 6), jnp.float32)
+        x0 = jnp.zeros((n, 6), dtype)
         r = _residuals(x0, z, poses, vos, pairs, weights)
         J = jax.jacfwd(_residuals)(x0, z, poses, vos, pairs, weights)
         J = J.reshape(r.shape[0], n * 6)

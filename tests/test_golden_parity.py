@@ -1,0 +1,196 @@
+"""Pin geomapnet_tpu's conventions to numbers OBSERVED from the reference.
+
+tests/golden_reference.py holds fixed inputs and the outputs the reference
+implementation (/root/reference/common/{pose_utils,criterion}.py) actually
+produced on them (captured by tools/capture_golden.py). Any convention drift
+— quaternion sign, frame of relative poses, normalization order, loss
+weighting — fails these tests instead of silently breaking accuracy parity.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+import pytest
+
+from geomapnet_tpu.geometry import (
+    align_camera_poses,
+    process_poses,
+    qexp_np,
+    qlog_np,
+    quaternion_angular_error,
+    vos_logq,
+    vos_logq_fc,
+    vos_simple,
+)
+from geomapnet_tpu.losses import (
+    MapNetCriterion,
+    MapNetOnlineCriterion,
+    PoseNetCriterion,
+    quaternion_loss,
+)
+from geomapnet_tpu.pgo import gauss_newton_pgo, optimize_poses
+
+import sys, os
+sys.path.insert(0, os.path.dirname(__file__))
+from golden_reference import GOLDEN
+
+SAX, SAQ, SRX, SRQ = 0.3, -3.0, 0.1, -1.5
+
+
+def f32(x):
+    return jnp.asarray(x, jnp.float32)
+
+
+class TestProcessPoses:
+    def test_full_alignment(self):
+        out = process_poses(
+            GOLDEN["process_poses_in"],
+            GOLDEN["process_poses_mean_t"],
+            GOLDEN["process_poses_std_t"],
+            GOLDEN["process_poses_align_R"],
+            GOLDEN["process_poses_align_t"],
+            float(GOLDEN["process_poses_align_s"]),
+        )
+        npt.assert_allclose(out, GOLDEN["process_poses_out"], atol=1e-9)
+
+    def test_identity_alignment(self):
+        out = process_poses(
+            GOLDEN["process_poses_in"],
+            np.zeros(3), np.ones(3), np.eye(3), np.zeros(3), 1.0,
+        )
+        npt.assert_allclose(out, GOLDEN["process_poses_id_out"], atol=1e-9)
+
+
+class TestCriteria:
+    def _loss(self, crit, pred, targ):
+        return float(crit(crit.init_params(), f32(pred), f32(targ)))
+
+    def test_posenet(self):
+        crit = PoseNetCriterion(sax=SAX, saq=SAQ)
+        loss = self._loss(crit, GOLDEN["posenet_pred"], GOLDEN["posenet_targ"])
+        assert loss == pytest.approx(GOLDEN["posenet_loss"], rel=1e-5)
+
+    def test_mapnet(self):
+        crit = MapNetCriterion(sax=SAX, saq=SAQ, srx=SRX, srq=SRQ)
+        loss = self._loss(crit, GOLDEN["mapnet_pred"], GOLDEN["mapnet_targ"])
+        assert loss == pytest.approx(GOLDEN["mapnet_loss"], rel=1e-5)
+
+    def test_mapnet_online(self):
+        crit = MapNetOnlineCriterion(sax=SAX, saq=SAQ, srx=SRX, srq=SRQ)
+        loss = self._loss(crit, GOLDEN["online_pred"], GOLDEN["online_targ"])
+        assert loss == pytest.approx(GOLDEN["online_loss"], rel=1e-5)
+
+    def test_mapnet_online_gps(self):
+        crit = MapNetOnlineCriterion(
+            sax=SAX, saq=SAQ, srx=SRX, srq=SRQ, gps_mode=True
+        )
+        loss = self._loss(crit, GOLDEN["online_pred"], GOLDEN["online_gps_targ"])
+        assert loss == pytest.approx(GOLDEN["online_gps_loss"], rel=1e-5)
+
+    def test_quaternion_loss(self):
+        loss = float(
+            quaternion_loss(f32(GOLDEN["quatloss_q1"]), f32(GOLDEN["quatloss_q2"]))
+        )
+        assert loss == pytest.approx(GOLDEN["quatloss"], rel=1e-5)
+
+
+class TestVOFamily:
+    def test_vos_simple(self):
+        out = vos_simple(f32(GOLDEN["vo_in"]))
+        npt.assert_allclose(out, GOLDEN["calc_vos_simple_out"], atol=1e-6)
+
+    def test_vos_logq_clamped(self):
+        out = vos_logq(f32(GOLDEN["vo_in"]), exact=False)
+        npt.assert_allclose(out, GOLDEN["calc_vos_out"], atol=1e-5)
+
+    def test_vos_logq_exact(self):
+        out = vos_logq(f32(GOLDEN["vo_in"]), exact=True)
+        npt.assert_allclose(out, GOLDEN["calc_vos_safe_out"], atol=1e-5)
+
+    def test_vos_logq_fc(self):
+        out = vos_logq_fc(f32(GOLDEN["vo_fc_in"]), exact=True)
+        npt.assert_allclose(out, GOLDEN["calc_vos_safe_fc_out"], atol=1e-5)
+
+
+class TestQuaternionHelpers:
+    def test_qexp(self):
+        out = np.stack([qexp_np(v) for v in GOLDEN["qexp_in"]])
+        npt.assert_allclose(out, GOLDEN["qexp_out"], atol=1e-12)
+
+    def test_qlog_roundtrip(self):
+        out = np.stack([qlog_np(q) for q in GOLDEN["qexp_out"]])
+        npt.assert_allclose(out, GOLDEN["qlog_out"], atol=1e-12)
+
+    def test_angular_error(self):
+        qs = GOLDEN["qexp_out"]
+        got = np.array([
+            quaternion_angular_error(qs[0], qs[1]),
+            quaternion_angular_error(qs[1], qs[2]),
+            quaternion_angular_error(qs[2], qs[2]),
+        ])
+        npt.assert_allclose(got, GOLDEN["q_ang_err"], atol=1e-6)
+
+
+class TestPGO:
+    """The reference PGO runs scipy float64; ours is jit'd float32 — compare
+    at a tolerance far below the pose perturbations being corrected (~0.5).
+
+    Two reference quirks pinned here:
+
+    - ``pgo_test_poses1`` returns fully-connected vos (3 rows for 3 poses)
+      but feeds them to the chain-topology ``PoseGraph``, which silently uses
+      only the first N-1 rows; our solver shape-checks, so the chain tests
+      slice ``vos[:2]`` (the rows the reference actually consumed).
+    - The reference's analytic ``dpsq_q`` (pose_utils.py:395-406) has a sign
+      error in the scalar row (``J[0, 1:] = -p[1:]``; the derivative of
+      ``[(p*)q]_w = p_w q_w + p_v . q_v`` w.r.t. ``q_v`` is ``+p_v``). Our
+      autodiff Jacobian is exact, so on inputs where that entry is nonzero
+      (optimize-from-targets below) the 10-iteration trajectories differ by
+      ~2.4e-3 even in float64 — both converge to the same optimum. We pin at
+      5e-3 rather than emulate the bug; real convention errors (sign/frame/
+      order) produce O(0.1-1) differences and still fail.
+    """
+
+    def test_chain_default_weights(self):
+        out = gauss_newton_pgo(
+            f32(GOLDEN["pgo_poses"]), f32(GOLDEN["pgo_vos"][:2])
+        )
+        npt.assert_allclose(out, GOLDEN["pgo_chain_out"], atol=2e-3)
+
+    def test_chain_custom_weights(self):
+        out = gauss_newton_pgo(
+            f32(GOLDEN["pgo_poses"]), f32(GOLDEN["pgo_vos"][:2]),
+            sax=0.5, saq=0.5, srx=10.0, srq=10.0,
+        )
+        npt.assert_allclose(out, GOLDEN["pgo_chain_w_out"], atol=2e-3)
+
+    def test_fully_connected(self):
+        out = gauss_newton_pgo(
+            f32(GOLDEN["pgo_poses"]), f32(GOLDEN["pgo_fc_vos"]), fc=True
+        )
+        npt.assert_allclose(out, GOLDEN["pgo_fc_out"], atol=2e-3)
+
+    def test_optimize_poses_from_targets(self):
+        out = optimize_poses(
+            pred_poses=np.asarray(GOLDEN["pgo_poses"]),
+            target_poses=np.asarray(GOLDEN["optp_target"]),
+            sax=1.0, saq=1.0, srx=20.0, srq=20.0,
+        )
+        # 5e-3: exact-Jacobian vs the reference's dpsq_q sign bug (see class
+        # docstring); residuals and the VO derivation match bit-for-bit.
+        npt.assert_allclose(out, GOLDEN["optp_out"], atol=5e-3)
+
+
+class TestHornAlign:
+    def test_align_camera_poses_no_rotation_constraint(self):
+        R, t, s = align_camera_poses(
+            GOLDEN["align_o1"].copy(), GOLDEN["align_o2"].copy(),
+            GOLDEN["align_R1"].copy(), GOLDEN["align_R2"].copy(),
+            use_rotation_constraint=False,
+        )
+        npt.assert_allclose(R, GOLDEN["align_out_R"], atol=1e-9)
+        npt.assert_allclose(
+            np.asarray(t).reshape(-1), GOLDEN["align_out_t"].reshape(-1),
+            atol=1e-9,
+        )
+        assert float(s) == pytest.approx(float(GOLDEN["align_out_s"]), rel=1e-9)

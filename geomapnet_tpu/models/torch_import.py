@@ -106,10 +106,24 @@ def convert_state_dict(
     :param state_dict: torch name -> tensor/ndarray mapping
     :param strict: raise on unmapped keys instead of skipping them
     """
+    # A raw torchvision trunk dict (resnet34().state_dict()) carries the
+    # original 1000-way ImageNet ``fc`` and none of PoseNet's structure; the
+    # reference discards that layer by replacing it
+    # (/root/reference/models/posenet.py:46). A reference PoseNet/MapNet
+    # checkpoint instead has pose heads and a ``feature_extractor.``-scoped
+    # trunk whose ``fc`` IS the feat layer and must be kept.
+    normalized = [_strip_prefixes(k) for k in state_dict]
+    is_raw_trunk = not any(
+        n and (n.startswith(("fc_xyz", "fc_wpqr")))
+        for n in normalized
+    ) and not any("feature_extractor." in k for k in state_dict)
+
     out: dict[str, dict] = {"params": {}, "batch_stats": {}}
     for key, value in state_dict.items():
         norm = _strip_prefixes(key)
         if norm is None:
+            continue
+        if is_raw_trunk and norm.startswith("fc."):
             continue
         mapped = _flax_path(norm)
         if mapped is None:

@@ -57,6 +57,7 @@ def evaluate(
     preprocess=None,
     stochastic: bool = False,
     seed: int = 7,
+    num_workers: int = 1,
 ) -> dict:
     """Run batched evaluation over an MF (or plain frame) dataset.
 
@@ -69,6 +70,11 @@ def evaluate(
     is_tuple = isinstance(dataset, MF)
     L = len(dataset.dset) if is_tuple else len(dataset)
     steps = dataset.steps if is_tuple else 1
+    if is_tuple and dataset.sampler.variable_skip:
+        # with a shared RNG, the loader's get_indices draws and the
+        # middle-frame scatter's re-draws would DIFFER — force per-index
+        # deterministic sampling so both resolve the same tuples
+        dataset.deterministic_indices = True
 
     pose_m, pose_s = (
         pose_stats if pose_stats is not None else (np.zeros(3), np.ones(3))
@@ -98,7 +104,8 @@ def evaluate(
 
         dataset = _Single(dataset)
 
-    loader = Loader(dataset, batch_size, shuffle=False, drop_last=False)
+    loader = Loader(dataset, batch_size, shuffle=False, drop_last=False,
+                    num_workers=num_workers)
 
     pred_poses = np.zeros((L, 7))
     targ_poses = np.zeros((L, 7))
@@ -371,6 +378,7 @@ def main(argv=None):
         pose_stats=pose_stats, pose_graph=args.pose_graph, fc_vos=fc_vos,
         pgo_weights=pgo_weights, preprocess=preprocess,
         stochastic=args.eval_dropout, seed=config.seed,
+        num_workers=config.num_workers,
     )
 
     print(

@@ -43,12 +43,20 @@ class MF:
         gt_dataset=None,
         vo_func: Callable = vos_simple_np,
         seed: int = 7,
+        deterministic_indices: bool = False,
     ):
         self.dset = dataset
         self.gt_dset = gt_dataset
         self.include_vos = include_vos
         self.real = real
         self.vo_func = vo_func
+        self.seed = seed
+        # deterministic_indices makes get_indices(i) a pure function of i
+        # (per-index seeded RNG for variable_skip) so a later caller — e.g.
+        # eval's middle-frame scatter — reconstructs exactly the tuple the
+        # loader fetched. Training keeps the shared-RNG behavior (fresh
+        # random skips every epoch, like the reference).
+        self.deterministic_indices = deterministic_indices
         self.rng = np.random.RandomState(seed)
         self.sampler = TupleSampler(
             dataset_len=len(dataset),
@@ -65,11 +73,13 @@ class MF:
         return self.sampler.steps
 
     def get_indices(self, index: int) -> np.ndarray:
-        return self.sampler.indices(index, self.rng)
+        rng = (
+            np.random.RandomState((self.seed * 1000003 + index) % (2**31))
+            if self.deterministic_indices else self.rng
+        )
+        return self.sampler.indices(index, rng)
 
-    def __getitem__(self, index: int):
-        idx = self.get_indices(index)
-        imgs = [self.dset.get_image(i) for i in idx]
+    def _poses_for(self, idx: np.ndarray) -> np.ndarray:
         poses = self.dset.poses[idx].astype(np.float32)
         if self.include_vos:
             vos = self.vo_func(poses).astype(np.float32)
@@ -77,8 +87,31 @@ class MF:
                 gt = self.dset.gt_idx[idx]
                 poses = self.gt_dset.poses[gt].astype(np.float32)
             poses = np.concatenate([poses, vos], axis=0)
+        return poses
+
+    def __getitem__(self, index: int):
+        idx = self.get_indices(index)
+        imgs = [self.dset.get_image(i) for i in idx]
         imgs = None if any(im is None for im in imgs) else np.stack(imgs)
-        return imgs, poses
+        return imgs, self._poses_for(idx)
+
+    def fetch_many(self, indices, num_workers: int = 4) -> list:
+        """Batched fetch: frame images for ALL requested tuples resolve in
+        one ``get_images`` call on the base dataset (one native decode_batch
+        across the whole loader batch) when available."""
+        tuple_idx = [self.get_indices(i) for i in indices]
+        flat = np.concatenate(tuple_idx) if tuple_idx else np.empty(0, int)
+        if hasattr(self.dset, "get_images"):
+            flat_imgs = self.dset.get_images(flat, num_workers=num_workers)
+        else:
+            flat_imgs = [self.dset.get_image(i) for i in flat]
+        out, k = [], 0
+        for idx in tuple_idx:
+            imgs = flat_imgs[k:k + len(idx)]
+            k += len(idx)
+            imgs = None if any(im is None for im in imgs) else np.stack(imgs)
+            out.append((imgs, self._poses_for(idx)))
+        return out
 
     def __len__(self) -> int:
         return len(self.sampler)

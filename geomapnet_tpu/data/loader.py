@@ -13,16 +13,23 @@ the design:
 - **corrupt-sample tolerance**: samples whose image failed to decode are
   skipped and replaced by the next index, the moral equivalent of
   ``safe_collate`` dropping Nones without changing the batch shape;
-- **overlap**: a single background thread prefetches the next batch while the
-  device computes (this host has few cores; the heavy lifting — normalize,
-  augment-independent math — belongs on device, see
-  :mod:`geomapnet_tpu.ops.image`).
+- **overlap**: a background thread prefetches the next batch while the device
+  computes, and with ``num_workers > 1`` samples within a batch are fetched
+  by a thread pool (the reference's ``num_workers=5`` DataLoader processes —
+  /root/reference/common/train.py:180-188 — map to threads here because the
+  per-sample work is either native C++ decoding, which releases the GIL, or
+  numpy, which mostly does). Datasets exposing ``fetch_many(indices)`` get
+  whole-batch fetch requests instead, so they can batch native decodes
+  (:func:`geomapnet_tpu.native.decode_batch`) across the batch;
+- heavy per-pixel math (normalize, demosaic, resize) still belongs on device
+  (:mod:`geomapnet_tpu.ops.image`).
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
 import numpy as np
@@ -39,6 +46,8 @@ class Loader:
     :param shuffle: reshuffle each epoch
     :param drop_last: drop the ragged tail (train) vs pad it (eval)
     :param prefetch: number of batches to stage in the background thread
+    :param num_workers: intra-batch fetch parallelism (1 = serial); ignored
+        when the dataset provides ``fetch_many`` (it parallelizes internally)
     """
 
     def __init__(
@@ -49,6 +58,7 @@ class Loader:
         drop_last: bool = True,
         seed: int = 7,
         prefetch: int = 2,
+        num_workers: int = 1,
         process_index: int = 0,
         process_count: int = 1,
     ):
@@ -58,6 +68,8 @@ class Loader:
         self.drop_last = drop_last
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
+        self.num_workers = max(1, int(num_workers))
+        self._pool: ThreadPoolExecutor | None = None
         # multi-host (DCN) sharding of the host pipeline: every process draws
         # the same seeded permutation and takes a disjoint strided slice, so
         # per-process batches are the per-host shards of a global batch
@@ -89,8 +101,35 @@ class Loader:
                 return imgs, poses
         raise RuntimeError("all samples in the dataset failed to load")
 
+    def _fetch_samples(self, idx: np.ndarray) -> list:
+        """Fetch one sample per index, preserving order.
+
+        Prefers the dataset's own batched path (``fetch_many`` — e.g. one
+        native decode_batch call for the whole batch), then a thread pool,
+        then serial. Corrupt samples (None images) are substituted by probing
+        forward from the next index — the safe_collate semantics either way.
+        """
+        if hasattr(self.dataset, "fetch_many"):
+            samples = self.dataset.fetch_many(
+                [int(i) for i in idx], num_workers=self.num_workers
+            )
+        elif self.num_workers > 1:
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(
+                    self.num_workers, thread_name_prefix="loader"
+                )
+            samples = list(
+                self._pool.map(self.dataset.__getitem__, (int(i) for i in idx))
+            )
+        else:
+            samples = [self.dataset[int(i)] for i in idx]
+        return [
+            s if s[0] is not None else self._fetch(int(i) + 1)
+            for i, s in zip(idx, samples)
+        ]
+
     def _make_batch(self, idx: np.ndarray, pad: int):
-        samples = [self._fetch(i) for i in idx]
+        samples = self._fetch_samples(idx)
         imgs = np.stack([s[0] for s in samples])
         poses = np.stack([s[1] for s in samples])
         if pad:

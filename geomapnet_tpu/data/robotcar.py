@@ -200,6 +200,31 @@ class RobotCar:
             return self.transform(img)
         return np.asarray(img)
 
+    def get_images(self, indices, num_workers: int = 4) -> list:
+        """Batch counterpart of :meth:`get_image`: raw-Bayer and native-RGB
+        frames decode through one C++ thread-pooled call per loader batch."""
+        if self.skip_images:
+            return [None] * len(indices)
+        from .. import native
+
+        if self.raw_bayer and native.available():
+            batch, ok = native.decode_batch_gray(
+                [self.imgs[i] for i in indices], *self.raw_size,
+                n_threads=num_workers,
+            )
+            return [img if good else None for img, good in zip(batch, ok)]
+        if self.use_native:
+            batch, ok = native.decode_batch(
+                [self.imgs[i] for i in indices], *self.native_size,
+                n_threads=num_workers,
+            )
+            return [
+                (self.transform(img) if self.transform else img)
+                if good else None
+                for img, good in zip(batch, ok)
+            ]
+        return [self.get_image(i) for i in indices]
+
     def __getitem__(self, index: int):
         pose = self.poses[index]
         if self.target_transform is not None:

@@ -9,18 +9,24 @@ and ``TrainSplit.txt`` / ``TestSplit.txt``, plus an assets directory
 ``<vo_lib>_vo_stats.pkl`` alignments and ``<vo_lib>_poses/seq-XX.txt``
 precomputed VO (for ``real=True``).
 
+The structure here is per-sequence: each sequence loads independently into a
+:class:`SequenceFrames` record (GT poses from per-frame pose.txt files, or
+integrated-VO poses + a pickled similarity alignment), and the dataset is the
+concatenation of those records with pose processing applied per sequence.
+
 Behavioral parity notes:
 - ``pose_stats.txt`` is written (identity stats) when constructing the
   train/GT dataset and read otherwise — the reference's hidden ordering
   dependency (seven_scenes.py:98-104) is preserved so asset files interop;
-- ``real=True`` loads ``<vo_lib>_poses`` with frame indices (libviso2 indices
-  are 1-based, seven_scenes.py:71-73) and the pickled {R, t, s} alignment;
-- ``gt_idx`` maps real frames onto GT frame numbering across sequences;
+- VO pose files carry a leading frame-number column (libviso2's numbering is
+  1-based, seven_scenes.py:71-73); ``gt_idx`` maps those frames onto the
+  GT frame numbering across sequence boundaries;
 - corrupt images yield None from ``get_image`` (the loader skips them).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import pickle
 from pathlib import Path
@@ -32,6 +38,8 @@ from ..geometry.process import process_poses
 
 __all__ = ["SevenScenes"]
 
+_IDENTITY_ALIGN = {"R": np.eye(3), "t": np.zeros(3), "s": 1}
+
 
 def _load_image(path: Path):
     try:
@@ -39,6 +47,77 @@ def _load_image(path: Path):
     except (IOError, OSError) as e:
         print(f"Could not load image {path}: {e}")
         return None
+
+
+@dataclasses.dataclass
+class SequenceFrames:
+    """Everything one ``seq-XX`` directory contributes to the dataset."""
+
+    color_paths: list[Path]
+    depth_paths: list[Path]
+    raw_poses: np.ndarray  # (F, 12) flattened [R|t] rows
+    frame_numbers: np.ndarray  # (F,) indices into the GT frame numbering
+    alignment: dict  # {R, t, s} similarity mapping into the GT frame
+    gt_frame_count: int  # number of GT frames in this sequence directory
+
+
+def _split_sequence_numbers(split_file: Path) -> list[int]:
+    """Sequence numbers listed in a TrainSplit/TestSplit file."""
+    with open(split_file) as f:
+        return [
+            int(line.split("sequence")[-1])
+            for line in f
+            if not line.startswith("#")
+        ]
+
+
+def _count_gt_frames(seq_dir: Path) -> int:
+    return sum(1 for name in os.listdir(seq_dir) if "pose" in name)
+
+
+def _frame_paths(seq_dir: Path, frame_numbers) -> tuple[list[Path], list[Path]]:
+    color = [seq_dir / f"frame-{i:06d}.color.png" for i in frame_numbers]
+    depth = [seq_dir / f"frame-{i:06d}.depth.png" for i in frame_numbers]
+    return color, depth
+
+
+def _gt_sequence(seq_dir: Path) -> SequenceFrames:
+    """Load a sequence with ground-truth poses (one pose.txt per frame)."""
+    n = _count_gt_frames(seq_dir)
+    frame_numbers = np.arange(n)
+    raw = np.asarray([
+        np.loadtxt(seq_dir / f"frame-{i:06d}.pose.txt").flatten()[:12]
+        for i in frame_numbers
+    ])
+    color, depth = _frame_paths(seq_dir, frame_numbers)
+    return SequenceFrames(color, depth, raw, frame_numbers,
+                          dict(_IDENTITY_ALIGN), n)
+
+
+def _vo_sequence(seq_dir: Path, asset_scene_dir: Path, seq: int,
+                 vo_lib: str) -> SequenceFrames:
+    """Load a sequence with integrated-VO poses + its GT alignment."""
+    table = np.loadtxt(asset_scene_dir / f"{vo_lib}_poses" / f"seq-{seq:02d}.txt")
+    frame_numbers = table[:, 0].astype(int)
+    if vo_lib == "libviso2":  # 1-based frame numbering
+        frame_numbers = frame_numbers - 1
+    with open(asset_scene_dir / f"seq-{seq:02d}" / f"{vo_lib}_vo_stats.pkl",
+              "rb") as f:
+        alignment = pickle.load(f)
+    color, depth = _frame_paths(seq_dir, frame_numbers)
+    return SequenceFrames(color, depth, table[:, 1:13], frame_numbers,
+                          alignment, _count_gt_frames(seq_dir))
+
+
+def _pose_stats(stats_file: Path, write_identity: bool):
+    """Translation mean/std — written as identity for the train/GT dataset
+    (7Scenes trajectories are small), read back otherwise."""
+    if write_identity:
+        mean_t, std_t = np.zeros(3), np.ones(3)
+        stats_file.parent.mkdir(parents=True, exist_ok=True)
+        np.savetxt(stats_file, np.vstack((mean_t, std_t)), fmt="%8.7f")
+        return mean_t, std_t
+    return np.loadtxt(stats_file)
 
 
 class SevenScenes:
@@ -55,6 +134,7 @@ class SevenScenes:
     :param skip_images: pose-only dataset (images None)
     :param vo_lib: VO source for real=True ('dso', 'orbslam', 'libviso2')
     :param asset_dir: processed-assets root (defaults to ``data/7Scenes``)
+    :param use_native: decode+resize via the native C++ path
     """
 
     def __init__(
@@ -83,68 +163,43 @@ class SevenScenes:
         self.native_size = native_size or (256, 341)  # 480x640 @ shortest-256
         np.random.seed(seed)
 
-        base_dir = Path(os.path.expanduser(data_path)) / scene
-        data_dir = Path(asset_dir or Path("data") / "7Scenes") / scene
+        scene_dir = Path(os.path.expanduser(data_path)) / scene
+        asset_scene_dir = Path(asset_dir or Path("data") / "7Scenes") / scene
 
-        split_file = base_dir / ("TrainSplit.txt" if train else "TestSplit.txt")
-        with open(split_file) as f:
-            seqs = [
-                int(l.split("sequence")[-1])
-                for l in f
-                if not l.startswith("#")
+        split_name = "TrainSplit.txt" if train else "TestSplit.txt"
+        seq_numbers = _split_sequence_numbers(scene_dir / split_name)
+        sequences = [
+            _vo_sequence(scene_dir / f"seq-{seq:02d}", asset_scene_dir, seq,
+                         vo_lib)
+            if real else _gt_sequence(scene_dir / f"seq-{seq:02d}")
+            for seq in seq_numbers
+        ]
+
+        self.c_imgs = [p for s in sequences for p in s.color_paths]
+        self.d_imgs = [p for s in sequences for p in s.depth_paths]
+
+        # frame numbers -> global GT indices (offset by the GT frame counts
+        # of the preceding sequences)
+        offsets = np.cumsum([0] + [s.gt_frame_count for s in sequences][:-1])
+        self.gt_idx = (
+            np.concatenate([s.frame_numbers + off
+                            for s, off in zip(sequences, offsets)])
+            if sequences else np.empty((0,), int)
+        )
+
+        mean_t, std_t = _pose_stats(
+            asset_scene_dir / "pose_stats.txt",
+            write_identity=train and not real,
+        )
+        self.poses = np.concatenate(
+            [
+                process_poses(s.raw_poses, mean_t, std_t,
+                              s.alignment["R"], s.alignment["t"],
+                              s.alignment["s"])
+                for s in sequences
             ]
-
-        self.c_imgs: list[Path] = []
-        self.d_imgs: list[Path] = []
-        self.gt_idx = np.empty((0,), dtype=int)
-        ps: dict[int, np.ndarray] = {}
-        vo_stats: dict[int, dict] = {}
-        gt_offset = 0
-        for seq in seqs:
-            seq_dir = base_dir / f"seq-{seq:02d}"
-            seq_data_dir = data_dir / f"seq-{seq:02d}"
-            p_filenames = [
-                n for n in os.listdir(seq_dir) if n.find("pose") >= 0
-            ]
-            if real:
-                pose_file = data_dir / f"{vo_lib}_poses" / f"seq-{seq:02d}.txt"
-                pss = np.loadtxt(pose_file)
-                frame_idx = pss[:, 0].astype(int)
-                if vo_lib == "libviso2":
-                    frame_idx -= 1
-                ps[seq] = pss[:, 1:13]
-                with open(seq_data_dir / f"{vo_lib}_vo_stats.pkl", "rb") as f:
-                    vo_stats[seq] = pickle.load(f)
-            else:
-                frame_idx = np.arange(len(p_filenames))
-                pss = [
-                    np.loadtxt(seq_dir / f"frame-{i:06d}.pose.txt").flatten()[:12]
-                    for i in frame_idx
-                ]
-                ps[seq] = np.asarray(pss)
-                vo_stats[seq] = {"R": np.eye(3), "t": np.zeros(3), "s": 1}
-
-            self.gt_idx = np.hstack((self.gt_idx, gt_offset + frame_idx))
-            gt_offset += len(p_filenames)
-            self.c_imgs += [seq_dir / f"frame-{i:06d}.color.png" for i in frame_idx]
-            self.d_imgs += [seq_dir / f"frame-{i:06d}.depth.png" for i in frame_idx]
-
-        pose_stats_file = data_dir / "pose_stats.txt"
-        if train and not real:
-            mean_t, std_t = np.zeros(3), np.ones(3)  # 7Scenes: identity stats
-            pose_stats_file.parent.mkdir(parents=True, exist_ok=True)
-            np.savetxt(pose_stats_file, np.vstack((mean_t, std_t)), fmt="%8.7f")
-        else:
-            mean_t, std_t = np.loadtxt(pose_stats_file)
-
-        self.poses = np.empty((0, 6))
-        for seq in seqs:
-            pss = process_poses(
-                ps[seq], mean_t, std_t,
-                vo_stats[seq]["R"], vo_stats[seq]["t"], vo_stats[seq]["s"],
-            )
-            self.poses = np.vstack((self.poses, pss))
-        self.poses = self.poses.astype(np.float32)
+            or [np.empty((0, 6))]
+        ).astype(np.float32)
 
     def get_image(self, index: int):
         """Float image array for frame ``index`` (None if unreadable)."""
@@ -176,6 +231,26 @@ class SevenScenes:
         if self.transform is not None:
             return self.transform(img)
         return np.asarray(img)
+
+    def get_images(self, indices, num_workers: int = 4) -> list:
+        """Batch counterpart of :meth:`get_image` — same outputs, but color
+        frames decode through one :func:`geomapnet_tpu.native.decode_batch`
+        call (C++ thread pool) when the native path is on."""
+        if self.skip_images:
+            return [None] * len(indices)
+        if self.use_native and self.mode == 0:
+            from .. import native
+
+            batch, ok = native.decode_batch(
+                [self.c_imgs[i] for i in indices], *self.native_size,
+                n_threads=num_workers,
+            )
+            return [
+                (self.transform(img) if self.transform else img)
+                if good else None
+                for img, good in zip(batch, ok)
+            ]
+        return [self.get_image(i) for i in indices]
 
     def __getitem__(self, index: int):
         pose = self.poses[index]

@@ -111,6 +111,7 @@ class Trainer:
 
         loader_kwargs = dict(
             process_index=self.process_index, process_count=self.process_count,
+            num_workers=config.num_workers,
         )
         self.train_loader = Loader(
             train_dataset, local_bs, shuffle=config.shuffle,

@@ -244,3 +244,133 @@ class TestSevenScenesModes:
                          asset_dir=str(assets))
         out, _ = ds[0]
         assert isinstance(out, list) and len(out) == 2
+
+
+class TestLoaderWorkers:
+    """num_workers parallel fetch (reference: num_workers=5 DataLoader
+    processes, common/train.py:180-188) — same batches, less wall time."""
+
+    class Slow:
+        """A dataset whose per-sample cost is IO-like (sleep releases the
+        GIL, as native decode and most numpy do)."""
+
+        def __init__(self, n=32, delay=0.01):
+            import time as _t
+
+            self._sleep = _t.sleep
+            self.delay = delay
+            self.poses = np.arange(n * 6, dtype=np.float32).reshape(n, 6)
+
+        def __len__(self):
+            return len(self.poses)
+
+        def __getitem__(self, i):
+            self._sleep(self.delay)
+            img = np.full((8, 8, 3), i, np.float32)
+            return img, self.poses[i]
+
+    def _drain(self, loader):
+        import time
+
+        t0 = time.perf_counter()
+        batches = list(loader)
+        return time.perf_counter() - t0, batches
+
+    def test_speedup_and_identical_batches(self):
+        ds = self.Slow()
+        t1, serial = self._drain(Loader(ds, 8, num_workers=1))
+        t4, pooled = self._drain(Loader(ds, 8, num_workers=4))
+        assert t1 / t4 > 2.0, f"expected >2x speedup, got {t1 / t4:.2f}x"
+        for (ia, pa, _), (ib, pb, _) in zip(serial, pooled):
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_array_equal(pa, pb)
+
+    def test_corrupt_samples_substituted_in_pooled_path(self):
+        inner = self.Slow(n=16, delay=0.0)
+
+        class Flaky:
+            def __len__(self):
+                return len(inner)
+
+            def __getitem__(self, i):
+                if i % 5 == 0:
+                    return None, None
+                return inner[i]
+
+        loader = Loader(Flaky(), 4, num_workers=3, drop_last=True)
+        for imgs, poses, _ in loader:
+            assert imgs is not None and np.all(np.isfinite(imgs))
+            # substituted rows must be valid dataset images (value != 0 mod 5)
+            vals = imgs[:, 0, 0, 0].astype(int)
+            assert all(v % 5 != 0 for v in vals)
+
+
+class TestMFFetchMany:
+    def _mf(self, **kw):
+        return MF(SyntheticScene(n_frames=24, height=8, width=8),
+                  steps=3, skip=2, **kw)
+
+    def test_matches_getitem(self):
+        mf = self._mf()
+        idx = [0, 3, 7, 11]
+        batched = mf.fetch_many(idx)
+        for i, (imgs, poses) in zip(idx, batched):
+            ei, ep = mf[i]
+            np.testing.assert_array_equal(imgs, ei)
+            np.testing.assert_array_equal(poses, ep)
+
+    def test_matches_getitem_with_vos_and_real(self):
+        base = SyntheticScene(n_frames=24, height=8, width=8, real=True)
+        gt = SyntheticScene(n_frames=24, height=8, width=8)
+        mf = MF(base, steps=3, skip=1, include_vos=True, real=True,
+                gt_dataset=gt, vo_func=vos_logq_np)
+        batched = mf.fetch_many([2, 5])
+        for i, (imgs, poses) in zip([2, 5], batched):
+            ei, ep = mf[i]
+            np.testing.assert_array_equal(imgs, ei)
+            np.testing.assert_array_equal(poses, ep)
+
+    def test_loader_uses_fetch_many(self):
+        mf = self._mf()
+        calls = []
+        orig = mf.fetch_many
+
+        def spy(indices, num_workers=1):
+            calls.append(list(indices))
+            return orig(indices, num_workers=num_workers)
+
+        mf.fetch_many = spy  # type: ignore[assignment]
+        list(Loader(mf, 4, drop_last=True, num_workers=2))
+        assert calls and all(len(c) == 4 for c in calls)
+
+
+class TestDeterministicIndices:
+    """variable_skip eval safety: get_indices(i) must be a pure function of
+    i when deterministic_indices is set, so eval's middle-frame scatter
+    reconstructs the exact tuples the loader fetched."""
+
+    def _mf(self, deterministic):
+        return MF(SyntheticScene(n_frames=40, height=8, width=8),
+                  steps=3, skip=4, variable_skip=True,
+                  deterministic_indices=deterministic)
+
+    def test_shared_rng_draws_differ(self):
+        mf = self._mf(deterministic=False)
+        draws = [tuple(mf.get_indices(7)) for _ in range(8)]
+        assert len(set(draws)) > 1  # the hazard this feature removes
+
+    def test_deterministic_draws_repeat(self):
+        mf = self._mf(deterministic=True)
+        a = [tuple(mf.get_indices(i)) for i in range(10)]
+        b = [tuple(mf.get_indices(i)) for i in reversed(range(10))]
+        assert a == list(reversed(b))
+        # still actually variable: not all tuples share one stride
+        strides = {tuple(np.diff(t)) for t in a}
+        assert len(strides) > 1
+
+    def test_getitem_matches_scatter_reconstruction(self):
+        mf = self._mf(deterministic=True)
+        for i in (0, 5, 9):
+            _, poses = mf[i]
+            idx = mf.get_indices(i)
+            np.testing.assert_array_equal(poses, mf.dset.poses[idx])

@@ -88,3 +88,27 @@ def test_sevenscenes_native_path(tmp_path, rng):
     img = ds.get_image(0)
     assert img.shape == (24, 32, 3)
     assert ds.poses.shape == (3, 6)
+
+
+def test_sevenscenes_get_images_matches_get_image(tmp_path, rng):
+    """The batched native path must produce exactly the per-image path's
+    arrays (same decoder, same resize) in order."""
+    from geomapnet_tpu.data.sevenscenes import SevenScenes
+
+    scene = tmp_path / "raw" / "heads"
+    seq = scene / "seq-01"
+    seq.mkdir(parents=True)
+    (scene / "TrainSplit.txt").write_text("sequence1\n")
+    for i in range(5):
+        arr = rng.randint(0, 255, (32, 48, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(seq / f"frame-{i:06d}.color.png")
+        pose = np.eye(4)
+        pose[:3, 3] = [i, 0, 0]
+        np.savetxt(seq / f"frame-{i:06d}.pose.txt", pose)
+
+    ds = SevenScenes("heads", str(tmp_path / "raw"), train=True, mode=0,
+                     asset_dir=str(tmp_path / "assets"),
+                     use_native=True, native_size=(16, 24))
+    batched = ds.get_images([3, 0, 4], num_workers=2)
+    for got, idx in zip(batched, [3, 0, 4]):
+        np.testing.assert_array_equal(got, ds.get_image(idx))

@@ -161,6 +161,7 @@ class SevenScenes:
         # as pre-resized uint8 arrays; the transform skips PIL work
         self.use_native = use_native
         self.native_size = native_size or (256, 341)  # 480x640 @ shortest-256
+        self._depth_size: tuple[int, int] | None = None  # probed lazily
         np.random.seed(seed)
 
         scene_dir = Path(os.path.expanduser(data_path)) / scene
@@ -201,17 +202,46 @@ class SevenScenes:
             or [np.empty((0, 6))]
         ).astype(np.float32)
 
+    def _depth_dims(self) -> tuple[int, int]:
+        """(H, W) of the depth frames — probed once from the first file
+        header (the native decoder works at fixed batch dimensions)."""
+        if self._depth_size is None:
+            with Image.open(self.d_imgs[0]) as im:
+                self._depth_size = (im.height, im.width)
+        return self._depth_size
+
+    def _native_color(self, indices, num_workers: int) -> list:
+        from .. import native
+
+        batch, ok = native.decode_batch(
+            [self.c_imgs[i] for i in indices], *self.native_size,
+            n_threads=num_workers,
+        )
+        return [
+            (self.transform(img) if self.transform else img) if good else None
+            for img, good in zip(batch, ok)
+        ]
+
+    def _native_depth(self, indices, num_workers: int) -> list:
+        """Depth frames via the C++ 16-bit decoder, at native resolution
+        (uint16 millimeters; any resize belongs to the device pipeline)."""
+        from .. import native
+
+        batch, ok = native.decode_batch_gray16(
+            [self.d_imgs[i] for i in indices], *self._depth_dims(),
+            n_threads=num_workers,
+        )
+        return [
+            (self.transform(img) if self.transform else img) if good else None
+            for img, good in zip(batch, ok)
+        ]
+
     def get_image(self, index: int):
         """Float image array for frame ``index`` (None if unreadable)."""
         if self.skip_images:
             return None
-        if self.use_native and self.mode == 0:
-            from .. import native
-
-            img = native.decode_image(self.c_imgs[index], *self.native_size)
-            if img is None:
-                return None
-            return self.transform(img) if self.transform else img
+        if self.use_native:
+            return self.get_images([index], num_workers=1)[0]
         if self.mode == 0:
             img = _load_image(self.c_imgs[index])
         elif self.mode == 1:
@@ -233,23 +263,24 @@ class SevenScenes:
         return np.asarray(img)
 
     def get_images(self, indices, num_workers: int = 4) -> list:
-        """Batch counterpart of :meth:`get_image` — same outputs, but color
-        frames decode through one :func:`geomapnet_tpu.native.decode_batch`
-        call (C++ thread pool) when the native path is on."""
+        """Batch counterpart of :meth:`get_image` — same outputs, but frames
+        decode through one C++ batch call per modality when the native path
+        is on (color: decode+resize; depth: 16-bit at native resolution)."""
         if self.skip_images:
             return [None] * len(indices)
-        if self.use_native and self.mode == 0:
-            from .. import native
-
-            batch, ok = native.decode_batch(
-                [self.c_imgs[i] for i in indices], *self.native_size,
-                n_threads=num_workers,
-            )
-            return [
-                (self.transform(img) if self.transform else img)
-                if good else None
-                for img, good in zip(batch, ok)
-            ]
+        if self.use_native:
+            if self.mode == 0:
+                return self._native_color(indices, num_workers)
+            if self.mode == 1:
+                return self._native_depth(indices, num_workers)
+            if self.mode == 2:
+                colors = self._native_color(indices, num_workers)
+                depths = self._native_depth(indices, num_workers)
+                return [
+                    None if c is None or d is None else [c, d]
+                    for c, d in zip(colors, depths)
+                ]
+            raise ValueError(f"wrong mode {self.mode}")
         return [self.get_image(i) for i in indices]
 
     def __getitem__(self, index: int):

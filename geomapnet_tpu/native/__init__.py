@@ -60,6 +60,17 @@ def _load():
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.gm_decode_batch_gray.restype = ctypes.c_int
+    try:
+        lib.gm_decode_batch_gray16.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.gm_decode_batch_gray16.restype = ctypes.c_int
+    except AttributeError:
+        # a .so built before the 16-bit depth entry point; rebuild via
+        # `python -m geomapnet_tpu.native.build`
+        pass
     _LIB = lib
     return lib
 
@@ -102,6 +113,27 @@ def decode_batch(paths, out_h: int, out_w: int, n_threads: int = 4
     lib.gm_decode_batch(
         arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out_h, out_w, n_threads,
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out, ok.astype(bool)
+
+
+def decode_batch_gray16(paths, h: int, w: int, n_threads: int = 4
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode 16-bit single-channel PNGs (7Scenes depth, values in mm) into
+    (N, h, w) uint16 at native resolution. Images whose size or bit depth
+    differ are flagged failed in the ok mask."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gm_decode_batch_gray16"):
+        raise RuntimeError("native library not built (or stale); run "
+                           "`python -m geomapnet_tpu.native.build`")
+    n = len(paths)
+    out = np.empty((n, h, w), np.uint16)
+    ok = np.zeros(n, np.uint8)
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    lib.gm_decode_batch_gray16(
+        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        h, w, n_threads,
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out, ok.astype(bool)

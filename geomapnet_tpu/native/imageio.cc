@@ -140,6 +140,62 @@ bool decode_png_gray(const char* path, Image* out) {
   return true;
 }
 
+// 16-bit single-channel decode (7Scenes depth frames are 16-bit gray PNGs
+// holding millimeters). Values land in native byte order.
+bool decode_png_gray16(const char* path, std::vector<uint16_t>* data, int* h,
+                       int* w) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return false;
+  uint8_t header[8];
+  if (fread(header, 1, 8, fp) != 8 || png_sig_cmp(header, 0, 8)) {
+    fclose(fp);
+    return false;
+  }
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return false;
+  }
+  png_init_io(png, fp);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+
+  int color = png_get_color_type(png, info);
+  int depth = png_get_bit_depth(png, info);
+  if (color != PNG_COLOR_TYPE_GRAY || depth != 16) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return false;
+  }
+  const uint16_t one = 1;
+  if (*reinterpret_cast<const uint8_t*>(&one)) {
+    png_set_swap(png);  // PNG is big-endian; host is little-endian
+  }
+  png_read_update_info(png, info);
+
+  *w = png_get_image_width(png, info);
+  *h = png_get_image_height(png, info);
+  size_t rowbytes = png_get_rowbytes(png, info);
+  if (rowbytes != static_cast<size_t>(*w) * 2) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    return false;
+  }
+  data->resize(static_cast<size_t>(*h) * *w);
+  std::vector<png_bytep> rows(*h);
+  for (int y = 0; y < *h; ++y) {
+    rows[y] = reinterpret_cast<png_bytep>(data->data() +
+                                          static_cast<size_t>(y) * *w);
+  }
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(fp);
+  return true;
+}
+
 bool decode_jpeg(const char* path, Image* out) {
   FILE* fp = fopen(path, "rb");
   if (!fp) return false;
@@ -286,6 +342,32 @@ int gm_decode_batch_gray(const char** paths, int n, uint8_t* out, int h,
       Image img;
       bool success = decode_png_gray(paths[i], &img) && img.h == h && img.w == w;
       if (success) memcpy(out + i * stride, img.data.data(), stride);
+      if (ok) ok[i] = success ? 1 : 0;
+      if (success) good.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+  return good.load();
+}
+
+// Decode `n` 16-bit single-channel PNGs (7Scenes depth) at NATIVE resolution
+// into a contiguous (n, h, w) uint16 buffer in host byte order. Images whose
+// dimensions/bit depth differ are flagged failed. Returns the number decoded.
+int gm_decode_batch_gray16(const char** paths, int n, uint16_t* out, int h,
+                           int w, int n_threads, uint8_t* ok) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0), good(0);
+  const size_t stride = static_cast<size_t>(h) * w;
+  auto worker = [&]() {
+    for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+      std::vector<uint16_t> data;
+      int ih = 0, iw = 0;
+      bool success =
+          decode_png_gray16(paths[i], &data, &ih, &iw) && ih == h && iw == w;
+      if (success) memcpy(out + i * stride, data.data(), stride * 2);
       if (ok) ok[i] = success ? 1 : 0;
       if (success) good.fetch_add(1);
     }

@@ -112,3 +112,70 @@ def test_sevenscenes_get_images_matches_get_image(tmp_path, rng):
     batched = ds.get_images([3, 0, 4], num_workers=2)
     for got, idx in zip(batched, [3, 0, 4]):
         np.testing.assert_array_equal(got, ds.get_image(idx))
+
+
+def test_decode_batch_gray16_bit_exact(tmp_path, rng):
+    paths, arrays = [], []
+    for i in range(3):
+        arr = rng.randint(0, 65535, (20, 30)).astype(np.uint16)
+        p = tmp_path / f"depth_{i}.png"
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+        arrays.append(arr)
+    batch, ok = native.decode_batch_gray16(paths, 20, 30, n_threads=2)
+    assert batch.dtype == np.uint16 and ok.all()
+    for got, want in zip(batch, arrays):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_decode_batch_gray16_rejects_wrong_depth(tmp_path, rng):
+    p8 = tmp_path / "not16.png"
+    Image.fromarray(rng.randint(0, 255, (20, 30)).astype(np.uint8)).save(p8)
+    _, ok = native.decode_batch_gray16([p8], 20, 30)
+    assert not ok[0]
+
+
+def _depth_scene(tmp_path, rng, n=4):
+    scene = tmp_path / "raw" / "heads"
+    seq = scene / "seq-01"
+    seq.mkdir(parents=True)
+    (scene / "TrainSplit.txt").write_text("sequence1\n")
+    for i in range(n):
+        Image.fromarray(
+            rng.randint(0, 255, (16, 24, 3)).astype(np.uint8)
+        ).save(seq / f"frame-{i:06d}.color.png")
+        Image.fromarray(
+            rng.randint(0, 65535, (16, 24)).astype(np.uint16)
+        ).save(seq / f"frame-{i:06d}.depth.png")
+        pose = np.eye(4)
+        pose[:3, 3] = [i, 0, 0]
+        np.savetxt(seq / f"frame-{i:06d}.pose.txt", pose)
+    return tmp_path / "raw", tmp_path / "assets"
+
+
+def test_sevenscenes_depth_mode_native_matches_pil(tmp_path, rng):
+    from geomapnet_tpu.data.sevenscenes import SevenScenes
+
+    raw, assets = _depth_scene(tmp_path, rng)
+    kw = dict(train=True, mode=1, asset_dir=str(assets))
+    pil = SevenScenes("heads", str(raw), **kw)
+    nat = SevenScenes("heads", str(raw), use_native=True, **kw)
+    for i in range(3):
+        np.testing.assert_array_equal(nat.get_image(i), pil.get_image(i))
+    batched = nat.get_images([2, 0], num_workers=2)
+    np.testing.assert_array_equal(batched[0], pil.get_image(2))
+    np.testing.assert_array_equal(batched[1], pil.get_image(0))
+
+
+def test_sevenscenes_both_mode_native(tmp_path, rng):
+    from geomapnet_tpu.data.sevenscenes import SevenScenes
+
+    raw, assets = _depth_scene(tmp_path, rng)
+    ds = SevenScenes("heads", str(raw), train=True, mode=2,
+                     asset_dir=str(assets), use_native=True,
+                     native_size=(16, 24))
+    out = ds.get_images([0, 1])
+    for pair, i in zip(out, (0, 1)):
+        assert isinstance(pair, list) and len(pair) == 2
+        assert pair[0].shape == (16, 24, 3) and pair[0].dtype == np.uint8
+        assert pair[1].shape == (16, 24) and pair[1].dtype == np.uint16

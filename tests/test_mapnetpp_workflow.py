@@ -1,0 +1,141 @@
+"""MapNet -> MapNet++ fine-tune workflow, end to end.
+
+The reference's flagship workflow (README.md:198-210, scripts/train.py:86-112)
+trains MapNet, then fine-tunes it semi-supervised as MapNet++ from the saved
+checkpoint: labeled tuples + unlabeled tuples whose targets are measured VOs
+(or GPS positions in gps_mode). This test runs the WHOLE chain on the
+synthetic scene: train tiny MapNet -> snapshot -> load_model_params into a
+fresh MapNet++ Trainer (MFOnline + MapNetOnlineCriterion) -> fine-tune, for
+both the VO and the gps_mode variants.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from geomapnet_tpu.cli.config import ExperimentConfig
+from geomapnet_tpu.data import MF, MFOnline, SyntheticScene, vos_logq_np
+from geomapnet_tpu.losses import MapNetCriterion, MapNetOnlineCriterion
+from geomapnet_tpu.models import MapNet, PoseNet, resnet18
+from geomapnet_tpu.train.checkpoint import load_model_params
+from geomapnet_tpu.train.loop import Trainer
+
+H, W, STEPS = 32, 48, 3
+
+
+def _model(filter_nans: bool = False):
+    # filter_nans mirrors the reference's mapnet++-only filter_hook
+    # (scripts/train.py:77-78)
+    return MapNet(posenet=PoseNet(
+        feature_extractor=resnet18(), feat_dim=32, droprate=0.0,
+        filter_nans=filter_nans))
+
+
+def _cfg(**kw):
+    base = dict(n_epochs=2, batch_size=6, do_val=False, seed=7, snapshot=2,
+                val_freq=10, print_freq=1, opt="adam", lr=2e-3)
+    base.update(kw)
+    return ExperimentConfig(**base)
+
+
+def _train_losses(logdir):
+    lines = [json.loads(l) for l in open(logdir / "metrics.jsonl")]
+    return [l["loss"] for l in lines if l["kind"] == "train"]
+
+
+def _online_dataset(gps_mode: bool):
+    """MFOnline as cli/builders.py wires it for mapnet++."""
+    mf_kwargs = dict(steps=STEPS, skip=2, seed=7)
+    train_mf = MF(SyntheticScene(n_frames=24, height=H, width=W), **mf_kwargs)
+    unlab = SyntheticScene(n_frames=24, height=H, width=W, train=False,
+                           real=True)
+    if gps_mode:
+        val_mf = MF(unlab, no_duplicates=True, **mf_kwargs)
+    else:
+        gt = SyntheticScene(n_frames=24, height=H, width=W, train=False,
+                            skip_images=True)
+        val_mf = MF(unlab, include_vos=True, real=True, no_duplicates=True,
+                    gt_dataset=gt, vo_func=vos_logq_np, **mf_kwargs)
+    return MFOnline(train_mf, val_mf, gps_mode=gps_mode)
+
+
+@pytest.fixture(scope="module")
+def mapnet_checkpoint(tmp_path_factory):
+    """Stage 1: train MapNet and snapshot it."""
+    root = tmp_path_factory.mktemp("mapnet")
+    train_ds = MF(SyntheticScene(n_frames=24, height=H, width=W),
+                  steps=STEPS, skip=2)
+    trainer = Trainer(
+        _model(),
+        MapNetCriterion(saq=-3.0, srq=-3.0, learn_beta=True, learn_gamma=True),
+        _cfg(), "mapnet_stage", train_ds, None,
+        logdir_root=str(root), use_mesh=False,
+    )
+    trainer.train_val()
+    ckpt = root / "mapnet_stage" / "epoch_002"
+    assert ckpt.exists()
+    return ckpt
+
+
+@pytest.mark.parametrize("gps_mode", [False, True], ids=["vo", "gps"])
+def test_mapnetpp_finetune_from_checkpoint(mapnet_checkpoint, tmp_path,
+                                           gps_mode):
+    criterion = MapNetOnlineCriterion(
+        saq=-3.0, srq=-3.0, learn_beta=True, learn_gamma=True,
+        gps_mode=gps_mode,
+    )
+    name = f"mapnetpp_{'gps' if gps_mode else 'vo'}"
+    # the reference's mapnet++ recipe: NaN-gradient guard on the log-q head
+    # and max_grad_norm=5 (configs/mapnet++_*.ini) — without them the VO
+    # term's gradients blow up within a few steps (observed here too)
+    trainer = Trainer(
+        _model(filter_nans=True), criterion,
+        _cfg(n_epochs=2, lr=1e-4, max_grad_norm=5.0), name,
+        _online_dataset(gps_mode), None,
+        logdir_root=str(tmp_path), use_mesh=False,
+    )
+
+    fresh_conv1 = np.asarray(
+        trainer.state.params["model"]["posenet"]["feature_extractor"]["conv1"]
+        ["kernel"]
+    )
+    trainer.state = load_model_params(mapnet_checkpoint, trainer.state)
+    loaded_conv1 = np.asarray(
+        trainer.state.params["model"]["posenet"]["feature_extractor"]["conv1"]
+        ["kernel"]
+    )
+    # the checkpoint's trained weights actually landed (different init seeds
+    # would also differ, but identical trees would mean the load was a no-op)
+    assert not np.allclose(fresh_conv1, loaded_conv1)
+
+    trainer.train_val()
+    losses = _train_losses(tmp_path / name)
+    assert losses and np.all(np.isfinite(losses))
+    # fine-tuning makes progress: second epoch beats the first on average
+    half = len(losses) // 2
+    assert np.mean(losses[half:]) < np.mean(losses[:half])
+    assert (tmp_path / name / "epoch_002").exists()
+
+
+def test_posenet_checkpoint_loads_into_mapnet(mapnet_checkpoint, tmp_path):
+    """Prefix reconciliation the other way: a MapNet checkpoint restores
+    into a bare PoseNet state (the reference's prefix-tolerant loader,
+    common/train.py:22-53)."""
+    from geomapnet_tpu.losses import PoseNetCriterion
+
+    trainer = Trainer(
+        PoseNet(feature_extractor=resnet18(), feat_dim=32, droprate=0.0),
+        PoseNetCriterion(saq=-3.0, learn_beta=True),
+        _cfg(n_epochs=1), "posenet_from_mapnet",
+        SyntheticScene(n_frames=16, height=H, width=W), None,
+        logdir_root=str(tmp_path), use_mesh=False,
+    )
+    before = np.asarray(
+        trainer.state.params["model"]["feature_extractor"]["conv1"]["kernel"]
+    )
+    trainer.state = load_model_params(mapnet_checkpoint, trainer.state)
+    after = np.asarray(
+        trainer.state.params["model"]["feature_extractor"]["conv1"]["kernel"]
+    )
+    assert not np.allclose(before, after)

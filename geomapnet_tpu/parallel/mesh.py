@@ -55,9 +55,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """Place host arrays on the mesh, batch-dim sharded along ``axis``."""
+    """Place host arrays on the mesh, batch-dim sharded along ``axis``.
+
+    Raises a clear error when the batch doesn't divide over the mesh (XLA's
+    own message for this is an opaque sharding failure)."""
     sh = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    n = mesh.shape[axis]
+
+    def put(x):
+        if x.shape[0] % n:
+            raise ValueError(
+                f"batch dim {x.shape[0]} is not divisible by the "
+                f"{n}-device '{axis}' mesh axis; pick a (per-host) batch "
+                f"size that is a multiple of {n}"
+            )
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(put, batch)
 
 
 def shard_step(

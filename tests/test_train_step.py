@@ -231,3 +231,31 @@ class TestStochasticEval:
         _, d1 = det(state_do, images)
         _, d2 = det(state_do, images)
         np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+class TestMeshShapes:
+    """Non-default mesh sizes and the clear-error contract for bad batch/
+    mesh combinations (real-pod readiness: sub-meshes, odd device counts)."""
+
+    def _run(self, setup, n_dev, batch):
+        model, criterion, tx, state = setup
+        mesh = make_mesh(jax.devices()[:n_dev])
+        images = jax.random.normal(jax.random.PRNGKey(5), (batch, 3, 32, 32, 3))
+        targets = jax.random.normal(jax.random.PRNGKey(6), (batch, 3, 6)) * 0.1
+        step = shard_step(make_train_step(model, criterion, tx), mesh,
+                          n_batch_args=2, n_state_args=1, n_replicated_args=1,
+                          donate_state=False)
+        sh = shard_batch((images, targets), mesh)
+        _, loss = step(state, *sh, jax.random.PRNGKey(7))
+        assert np.isfinite(float(loss))
+
+    def test_four_device_submesh(self, setup):
+        self._run(setup, n_dev=4, batch=8)
+
+    def test_non_power_of_two_mesh(self, setup):
+        self._run(setup, n_dev=3, batch=6)
+
+    def test_indivisible_batch_raises_clear_error(self, setup):
+        mesh = make_mesh(jax.devices()[:8])
+        images = jnp.zeros((6, 3, 32, 32, 3))
+        with pytest.raises(ValueError, match="not divisible by the 8-device"):
+            shard_batch(images, mesh)

@@ -15,6 +15,7 @@ identity stats.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import pickle
 from functools import partial
@@ -32,6 +33,59 @@ from .robotcar_sdk import (
 )
 
 __all__ = ["RobotCar"]
+
+
+@dataclasses.dataclass
+class SequencePoses:
+    """Everything one RobotCar sequence directory contributes."""
+
+    timestamps: list[int]
+    raw_poses: np.ndarray  # (F, 12) flattened [R|t] rows
+    alignment: dict  # {R, t, s} similarity into the GT frame
+    image_paths: list[Path]
+
+
+def _read_timestamps(seq_dir: Path) -> list[int]:
+    with open(seq_dir / "stereo.timestamps") as f:
+        return [int(line.rstrip().split(" ")[0]) for line in f]
+
+
+def _load_sequence(seq_dir: Path, asset_seq_dir: Path, real: bool,
+                   vo_lib: str) -> SequencePoses:
+    """Interpolate per-image poses for one sequence: INS ground truth, or
+    integrated VO / GPS with its pickled GT alignment when ``real``."""
+    stamps = _read_timestamps(seq_dir)
+    if real:
+        if vo_lib == "stereo":
+            se3 = interpolate_vo_poses(seq_dir / "vo" / "vo.csv", stamps,
+                                       stamps[0])
+        elif vo_lib == "gps":
+            se3 = interpolate_ins_poses(seq_dir / "gps" / "gps_ins.csv",
+                                        stamps, stamps[0])
+        else:
+            raise NotImplementedError(f"unknown vo_lib {vo_lib}")
+        with open(asset_seq_dir / f"{vo_lib}_vo_stats.pkl", "rb") as f:
+            alignment = pickle.load(f)
+    else:
+        se3 = interpolate_ins_poses(seq_dir / "gps" / "ins.csv", stamps,
+                                    stamps[0])
+        alignment = {"R": np.eye(3), "t": np.zeros(3), "s": 1}
+    se3 = np.asarray(se3)
+    raw = se3[:, :3, :].reshape(len(se3), -1)
+    paths = [seq_dir / "stereo" / "centre" / f"{t}.png" for t in stamps]
+    return SequencePoses(stamps, raw, alignment, paths)
+
+
+def _real_pose_stats(stats_file: Path, write_from: np.ndarray | None):
+    """RobotCar normalizes by the REAL translation mean/std (UTM-scale
+    values), written on train/GT construction and read back otherwise."""
+    if write_from is not None:
+        mean_t = np.mean(write_from[:, [3, 7, 11]], axis=0)
+        std_t = np.std(write_from[:, [3, 7, 11]], axis=0)
+        stats_file.parent.mkdir(parents=True, exist_ok=True)
+        np.savetxt(stats_file, np.vstack((mean_t, std_t)), fmt="%8.7f")
+        return mean_t, std_t
+    return np.loadtxt(stats_file)
 
 
 class RobotCar:
@@ -85,67 +139,30 @@ class RobotCar:
         self.native_size = native_size or (256, 341)
         self.raw_bayer = raw_bayer
         self.raw_size = raw_size
-        base_dir = Path(os.path.expanduser(data_path)) / scene
-        data_dir = Path(asset_dir or Path("data") / "RobotCar") / scene
+        scene_dir = Path(os.path.expanduser(data_path)) / scene
+        asset_scene_dir = Path(asset_dir or Path("data") / "RobotCar") / scene
 
-        split_filename = base_dir / (
-            "train_split.txt" if train else "test_split.txt"
+        split_name = "train_split.txt" if train else "test_split.txt"
+        with open(scene_dir / split_name) as f:
+            seq_names = [l.rstrip() for l in f if not l.startswith("#")]
+
+        sequences = [
+            _load_sequence(scene_dir / seq, asset_scene_dir / seq, real,
+                           vo_lib)
+            for seq in seq_names
+        ]
+        self.imgs = [p for s in sequences for p in s.image_paths]
+
+        all_raw = np.vstack([s.raw_poses for s in sequences])
+        mean_t, std_t = _real_pose_stats(
+            asset_scene_dir / "pose_stats.txt",
+            write_from=all_raw if (train and not real) else None,
         )
-        with open(split_filename) as f:
-            seqs = [l.rstrip() for l in f if not l.startswith("#")]
-
-        ps: dict[str, np.ndarray] = {}
-        ts: dict[str, list[int]] = {}
-        vo_stats: dict[str, dict] = {}
-        self.imgs: list[Path] = []
-        for seq in seqs:
-            seq_dir = base_dir / seq
-            with open(seq_dir / "stereo.timestamps") as f:
-                ts[seq] = [int(l.rstrip().split(" ")[0]) for l in f]
-
-            if real:
-                if vo_lib == "stereo":
-                    p = np.asarray(interpolate_vo_poses(
-                        seq_dir / "vo" / "vo.csv", ts[seq], ts[seq][0]
-                    ))
-                elif vo_lib == "gps":
-                    p = np.asarray(interpolate_ins_poses(
-                        seq_dir / "gps" / "gps_ins.csv", ts[seq], ts[seq][0]
-                    ))
-                else:
-                    raise NotImplementedError(f"unknown vo_lib {vo_lib}")
-                with open(data_dir / seq / f"{vo_lib}_vo_stats.pkl", "rb") as f:
-                    vo_stats[seq] = pickle.load(f)
-            else:
-                p = np.asarray(interpolate_ins_poses(
-                    seq_dir / "gps" / "ins.csv", ts[seq], ts[seq][0]
-                ))
-                vo_stats[seq] = {"R": np.eye(3), "t": np.zeros(3), "s": 1}
-            ps[seq] = p[:, :3, :].reshape(len(p), -1)
-
-            self.imgs += [
-                seq_dir / "stereo" / "centre" / f"{t}.png" for t in ts[seq]
-            ]
-
-        poses = np.vstack(list(ps.values()))
-        pose_stats_filename = data_dir / "pose_stats.txt"
-        if train and not real:
-            mean_t = np.mean(poses[:, [3, 7, 11]], axis=0)
-            std_t = np.std(poses[:, [3, 7, 11]], axis=0)
-            pose_stats_filename.parent.mkdir(parents=True, exist_ok=True)
-            np.savetxt(pose_stats_filename, np.vstack((mean_t, std_t)),
-                       fmt="%8.7f")
-        else:
-            mean_t, std_t = np.loadtxt(pose_stats_filename)
-
-        self.poses = np.empty((0, 6))
-        for seq in seqs:
-            pss = process_poses(
-                ps[seq], mean_t, std_t,
-                vo_stats[seq]["R"], vo_stats[seq]["t"], vo_stats[seq]["s"],
-            )
-            self.poses = np.vstack((self.poses, pss))
-        self.poses = self.poses.astype(np.float32)
+        self.poses = np.concatenate([
+            process_poses(s.raw_poses, mean_t, std_t, s.alignment["R"],
+                          s.alignment["t"], s.alignment["s"])
+            for s in sequences
+        ]).astype(np.float32)
         self.gt_idx = np.arange(len(self.poses))
 
         self._camera_model = None

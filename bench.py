@@ -33,7 +33,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # 7Scenes input geometry: 480x640 -> shortest-side-256 resize -> 256x341
 H, W, T = 256, 341, 3
-BATCH_TUPLES = 42  # 126 images per launch (throughput-optimal on v5e, see sweep)
+# 384 images per launch. Round-2 sweep (scripts/bench_sweep.py, PERF.md):
+# 42 -> 9.1-9.3k img/s, 128 -> 9.67-9.73k (3 reps), 168 -> 9.75k; 128 is the
+# knee — bigger batches pay HBM for <1% more.
+BATCH_TUPLES = 128
 WARMUP, ITERS = 3, 20
 BS1_ITERS = 20
 

@@ -4,9 +4,11 @@ The reference publishes no throughput numbers and hard-codes eval batch size 1
 (/root/reference/scripts/eval.py:138-139): each image pays a full Python ->
 framework -> device round trip. The baseline here is therefore *that eval
 style measured on this same chip* (batch-1, non-overlapped, float32 — the
-reference's dtype); the headline metric is the optimized path: batched
-tuples, bfloat16 MXU compute, jit-fused forward. ``vs_baseline`` is the
-speedup of the optimized path over the reference-style path.
+reference's dtype); the headline metric is the optimized serving path:
+batched tuples, jit-fused forward, int8 PTQ trunk on the MXU (models/
+quant.py; accuracy bounds pinned in tests/test_quant.py, bf16 comparison in
+scripts/bench_quant.py). ``vs_baseline`` is the speedup of the optimized
+path over the reference-style path.
 
 Prints exactly one JSON line:
     {"metric": "eval_images_per_sec_per_chip", "value": ..., "unit":
@@ -100,16 +102,32 @@ def main():
     x1 = jax.random.normal(rng, (1, T, H, W, 3), jnp.float32)
     baseline = time_forward(fwd32, var32, x1, BS1_ITERS, WARMUP)
 
-    # optimized: bfloat16, large batched launch
-    _, var16, fwd16 = build(jnp.bfloat16)
+    # optimized serving path: int8 PTQ trunk (BN-folded per-channel weights,
+    # dynamic activation scales — models/quant.py, exposed as eval CLI
+    # `--quantize int8`), large batched launch. Accuracy bounds are pinned in
+    # tests/test_quant.py; bf16 comparison lives in scripts/bench_quant.py
+    # (int8 ~1.23x bf16 on this chip, PERF.md round 2).
+    from geomapnet_tpu.models.quant import (
+        mapnet_apply_int8,
+        quantize_posenet_variables,
+    )
+
+    qtree = jax.device_put(quantize_posenet_variables(
+        {"params": var32["params"], "batch_stats": var32["batch_stats"]}
+    ))
+
+    def qfwd(params, stats, images):
+        return mapnet_apply_int8(qtree, images)
+
     xb = jax.random.normal(rng, (BATCH_TUPLES, T, H, W, 3), jnp.bfloat16)
-    optimized = time_forward(fwd16, var16, xb, ITERS, WARMUP)
+    optimized = time_forward(qfwd, var32, xb, ITERS, WARMUP)
 
     print(json.dumps({
         "metric": "eval_images_per_sec_per_chip",
         "value": round(optimized, 1),
         "unit": "images/sec",
         "vs_baseline": round(optimized / baseline, 2),
+        "mode": "int8_ptq_batch%d" % BATCH_TUPLES,
     }))
 
 

@@ -58,6 +58,7 @@ def evaluate(
     stochastic: bool = False,
     seed: int = 7,
     num_workers: int = 1,
+    quantize: bool = False,
 ) -> dict:
     """Run batched evaluation over an MF (or plain frame) dataset.
 
@@ -80,10 +81,34 @@ def evaluate(
         pose_stats if pose_stats is not None else (np.zeros(3), np.ones(3))
     )
 
-    eval_step = jax.jit(
-        make_eval_step(model, None, preprocess=preprocess,
-                       stochastic=stochastic)
-    )
+    if quantize:
+        # int8 PTQ inference (models/quant.py): BN-folded per-channel weight
+        # quant + dynamic activation quant; conv MACs run on the int8 MXU
+        if stochastic:
+            raise ValueError("--quantize is incompatible with --eval_dropout")
+        from ..models.quant import (
+            mapnet_apply_int8,
+            posenet_apply_int8,
+            quantize_posenet_variables,
+        )
+
+        trunk = getattr(model, "posenet", model).feature_extractor
+        qtree = jax.device_put(quantize_posenet_variables(
+            {"params": state.params["model"], "batch_stats": state.batch_stats},
+            stage_sizes=tuple(trunk.stage_sizes),
+        ))
+
+        @jax.jit
+        def eval_step(state_, images, targets=None, rng=None):
+            if preprocess is not None:
+                images = preprocess(images)
+            fn = mapnet_apply_int8 if images.ndim == 5 else posenet_apply_int8
+            return jnp.zeros(()), fn(qtree, images)
+    else:
+        eval_step = jax.jit(
+            make_eval_step(model, None, preprocess=preprocess,
+                           stochastic=stochastic)
+        )
     eval_rng = jax.random.PRNGKey(seed)
 
     if not is_tuple:
@@ -274,6 +299,10 @@ def main(argv=None):
         "demosaic/[undistort]/resize/normalize",
     )
     parser.add_argument("--camera_models_dir", type=str, default=None)
+    parser.add_argument(
+        "--quantize", choices=["int8"], default=None,
+        help="run the trunk with int8 PTQ inference (models/quant.py)",
+    )
     args = parser.parse_args(argv)
 
     config = parse_ini(args.config_file)
@@ -379,6 +408,7 @@ def main(argv=None):
         pgo_weights=pgo_weights, preprocess=preprocess,
         stochastic=args.eval_dropout, seed=config.seed,
         num_workers=config.num_workers,
+        quantize=args.quantize == "int8",
     )
 
     print(

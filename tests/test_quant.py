@@ -1,0 +1,153 @@
+"""int8 post-training quantization (models/quant.py).
+
+Checks the BN-folding algebra, the quantized forward's fidelity to the float
+model (random weights AND a trained model), and that quantization does not
+meaningfully degrade pose accuracy on the synthetic scene.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geomapnet_tpu.models import MapNet, PoseNet, resnet18
+from geomapnet_tpu.models.quant import (
+    mapnet_apply_int8,
+    posenet_apply_int8,
+    quantize_posenet_variables,
+)
+
+STAGES = (2, 2, 2, 2)  # resnet18 keeps CPU tests fast
+
+
+def _posenet(feat_dim=64):
+    return PoseNet(feature_extractor=resnet18(dtype=jnp.float32),
+                   feat_dim=feat_dim, droprate=0.0)
+
+
+@pytest.fixture(scope="module")
+def float_model():
+    model = _posenet()
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    return model, {"params": v["params"], "batch_stats": v["batch_stats"]}
+
+
+class TestQuantizeTree:
+    def test_structure_and_dtypes(self, float_model):
+        _, variables = float_model
+        q = quantize_posenet_variables(variables, stage_sizes=STAGES)
+        trunk = q["trunk"]
+        assert trunk["conv1"]["qkernel"].dtype == np.int8
+        assert trunk["conv1"]["qkernel"].shape == (7, 7, 3, 64)
+        assert trunk["layer2_0"]["downsample"]["qkernel"].shape == (1, 1, 64, 128)
+        assert "downsample" not in trunk["layer1_0"]
+        assert set(q["heads"]) == {"fc_feat", "fc_xyz", "fc_wpqr"}
+
+    def test_bn_folding_algebra(self, float_model):
+        """dequant(qkernel) * conv + affine == BN(conv) for one 1x1 conv."""
+        _, variables = float_model
+        q = quantize_posenet_variables(variables, stage_sizes=STAGES)
+        blk = q["trunk"]["layer2_0"]["downsample"]
+        kernel = np.asarray(
+            variables["params"]["feature_extractor"]["layer2_0"]
+            ["downsample_conv"]["kernel"], np.float32)
+        bnp = variables["params"]["feature_extractor"]["layer2_0"]["downsample_bn"]
+        bns = variables["batch_stats"]["feature_extractor"]["layer2_0"]["downsample_bn"]
+
+        x = np.random.RandomState(0).randn(2, 4, 4, 64).astype(np.float32)
+        z = np.einsum("nhwi,abio->nhwo", x, kernel)  # 1x1 conv
+        a = np.asarray(bnp["scale"]) / np.sqrt(np.asarray(bns["var"]) + 1e-5)
+        want = a * z + (np.asarray(bnp["bias"]) - a * np.asarray(bns["mean"]))
+
+        x_scale = np.abs(x).max() / 127.0
+        qx = np.clip(np.round(x / x_scale), -127, 127)
+        acc = np.einsum("nhwi,abio->nhwo", qx, blk["qkernel"].astype(np.float32))
+        got = acc * (blk["m"] * x_scale) + blk["b"]
+        np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+
+class TestForwardFidelity:
+    def test_posenet_matches_float_model(self, float_model):
+        model, variables = float_model
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 64, 96, 3))
+        ref = np.asarray(model.apply(variables, x, train=False))
+        q = quantize_posenet_variables(variables, stage_sizes=STAGES)
+        got = np.asarray(posenet_apply_int8(q, x, dtype=jnp.float32))
+        assert got.shape == ref.shape == (4, 6)
+        scale = np.abs(ref).mean()
+        assert np.abs(got - ref).max() / scale < 0.08
+
+    def test_mapnet_wrapper(self, float_model):
+        model, variables = float_model
+        mapnet = MapNet(posenet=_posenet())
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 64, 96, 3))
+        mv = {"params": {"posenet": variables["params"]},
+              "batch_stats": {"posenet": variables["batch_stats"]}}
+        ref = np.asarray(mapnet.apply(mv, x, train=False))
+        q = quantize_posenet_variables(mv, stage_sizes=STAGES)  # nested tree
+        got = np.asarray(mapnet_apply_int8(q, x, dtype=jnp.float32))
+        assert got.shape == (2, 3, 6)
+        scale = np.abs(ref).mean()
+        assert np.abs(got - ref).max() / scale < 0.08
+
+
+class TestAccuracyOnTrainedModel:
+    def test_pose_error_degradation_small(self, tmp_path):
+        """Train a tiny PoseNet on the synthetic scene, then compare float vs
+        int8 median translation error — quantization must not blow it up."""
+        from geomapnet_tpu.cli.config import ExperimentConfig
+        from geomapnet_tpu.data import SyntheticScene
+        from geomapnet_tpu.geometry import translation_error
+        from geomapnet_tpu.losses import PoseNetCriterion
+        from geomapnet_tpu.train.loop import Trainer
+
+        model = _posenet()
+        trainer = Trainer(
+            model, PoseNetCriterion(saq=-3.0, learn_beta=True),
+            ExperimentConfig(n_epochs=3, batch_size=8, do_val=False, seed=7,
+                             snapshot=3, val_freq=10, print_freq=5,
+                             opt="adam", lr=2e-3),
+            "quant_acc", SyntheticScene(n_frames=32, height=64, width=96),
+            None, logdir_root=str(tmp_path), use_mesh=False,
+        )
+        trainer.train_val()
+        variables = {
+            "params": trainer.state.params["model"],
+            "batch_stats": trainer.state.batch_stats,
+        }
+        ds = SyntheticScene(n_frames=16, height=64, width=96, train=False)
+        imgs = jnp.stack([jnp.asarray(ds.get_image(i)) for i in range(len(ds))])
+        targ = np.asarray(ds.poses)
+
+        ref = np.asarray(model.apply(variables, imgs, train=False))
+        q = quantize_posenet_variables(variables, stage_sizes=STAGES)
+        got = np.asarray(posenet_apply_int8(q, imgs, dtype=jnp.float32))
+
+        err_f = np.median(translation_error(ref[:, :3], targ[:, :3]))
+        err_q = np.median(translation_error(got[:, :3], targ[:, :3]))
+        # int8 error within 20% (or 0.02 absolute) of the float model's
+        assert err_q < max(err_f * 1.2, err_f + 0.02), (err_f, err_q)
+
+
+class TestEvaluateQuantized:
+    def test_evaluate_with_quantize_runs_and_matches_float(self):
+        from geomapnet_tpu.cli.eval import evaluate
+        from geomapnet_tpu.data import MF, SyntheticScene
+        from geomapnet_tpu.losses import MapNetCriterion
+        from geomapnet_tpu.train import create_train_state, make_optimizer
+
+        model = MapNet(posenet=_posenet())
+        ds = MF(SyntheticScene(n_frames=16, height=64, width=96, train=False),
+                steps=3, skip=1)
+        tx = make_optimizer("adam", 1e-4)
+        state = create_train_state(
+            model, MapNetCriterion(), tx, jax.random.PRNGKey(0),
+            jnp.zeros((1, 3, 64, 96, 3)),
+        )
+        ref = evaluate(model, state, ds, batch_size=4, progress=False)
+        got = evaluate(model, state, ds, batch_size=4, progress=False,
+                       quantize=True)
+        # untrained nets predict near-constant poses; int8 must land close
+        assert abs(got["median_t"] - ref["median_t"]) < \
+            max(0.1 * abs(ref["median_t"]), 0.05)

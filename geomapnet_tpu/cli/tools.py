@@ -378,6 +378,7 @@ def export_model(args) -> None:
     blob = export_inference(
         model, state, frame_shape, dtype=in_dtype, preprocess=preprocess,
         platforms=tuple(args.platforms.split(",")) if args.platforms else None,
+        quantize=args.quantize == "int8",
     )
     with open(args.output, "wb") as f:
         f.write(blob)
@@ -449,6 +450,8 @@ def main(argv=None):
                    "normalize stage")
     p.add_argument("--platforms", default=None,
                    help="comma-separated lowering targets, e.g. tpu,cpu")
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="bake an int8-PTQ trunk into the artifact")
     p.set_defaults(fn=export_model)
 
     args = parser.parse_args(argv)

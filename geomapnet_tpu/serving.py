@@ -39,6 +39,7 @@ def export_inference(
     dtype=jnp.bfloat16,
     preprocess=None,
     platforms: tuple[str, ...] | None = None,
+    quantize: bool = False,
 ) -> bytes:
     """Serialize the inference function (weights baked in) to StableHLO.
 
@@ -52,18 +53,40 @@ def export_inference(
         model (e.g. :func:`geomapnet_tpu.cli.builders.build_device_preprocess`)
     :param platforms: lowering platforms (default: current backend). Pass
         ``("tpu", "cpu")`` for an artifact that loads on both.
+    :param quantize: bake an int8-PTQ trunk into the artifact
+        (:mod:`geomapnet_tpu.models.quant`; ~1.23x bf16 on v5e)
     :returns: serialized artifact bytes
     """
     params = jax.device_get(state.params["model"])
     batch_stats = jax.device_get(state.batch_stats)
 
-    def infer(images):
-        if preprocess is not None:
-            images = preprocess(images)
-        return model.apply(
-            {"params": params, "batch_stats": batch_stats}, images,
-            train=False,
+    if quantize:
+        from .models.quant import (
+            mapnet_apply_int8,
+            posenet_apply_int8,
+            quantize_posenet_variables,
         )
+
+        trunk = getattr(model, "posenet", model).feature_extractor
+        qtree = quantize_posenet_variables(
+            {"params": params, "batch_stats": batch_stats},
+            stage_sizes=tuple(trunk.stage_sizes),
+        )
+
+        def infer(images):
+            if preprocess is not None:
+                images = preprocess(images)
+            fn = (mapnet_apply_int8 if images.ndim == 5
+                  else posenet_apply_int8)
+            return fn(qtree, images)
+    else:
+        def infer(images):
+            if preprocess is not None:
+                images = preprocess(images)
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats}, images,
+                train=False,
+            )
 
     (batch,) = jax_export.symbolic_shape("b")
     spec = jax.ShapeDtypeStruct((batch, *frame_shape), dtype)

@@ -66,3 +66,29 @@ def test_export_with_fused_preprocess():
     )
     np.testing.assert_allclose(np.asarray(infer(u8)), np.asarray(ref),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_quantized_export_roundtrip(tmp_path):
+    """int8-PTQ artifact: exports, loads, and tracks the float artifact."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from geomapnet_tpu.losses import PoseNetCriterion
+    from geomapnet_tpu.models import PoseNet, resnet18
+    from geomapnet_tpu.serving import export_inference, load_inference
+    from geomapnet_tpu.train import create_train_state, make_optimizer
+
+    model = PoseNet(feature_extractor=resnet18(), feat_dim=32, droprate=0.0)
+    state = create_train_state(
+        model, PoseNetCriterion(), make_optimizer("adam", 1e-4),
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 48, 3)),
+    )
+    fblob = export_inference(model, state, (32, 48, 3), dtype=jnp.float32)
+    qblob = export_inference(model, state, (32, 48, 3), dtype=jnp.float32,
+                             quantize=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 32, 48, 3))
+    ref = np.asarray(load_inference(fblob)(x))
+    got = np.asarray(load_inference(qblob)(x))
+    assert got.shape == ref.shape == (3, 6)
+    assert np.abs(got - ref).max() / (np.abs(ref).mean() + 1e-9) < 0.1

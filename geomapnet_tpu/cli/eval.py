@@ -59,6 +59,7 @@ def evaluate(
     seed: int = 7,
     num_workers: int = 1,
     quantize: bool = False,
+    use_mesh: bool = True,
 ) -> dict:
     """Run batched evaluation over an MF (or plain frame) dataset.
 
@@ -81,6 +82,26 @@ def evaluate(
         pose_stats if pose_stats is not None else (np.zeros(3), np.ones(3))
     )
 
+    # data-parallel eval: batches shard over all local devices (same SPMD
+    # story as the Trainer); single-device when only one chip is visible
+    from ..parallel.mesh import make_mesh, replicated, shard_step
+    from ..parallel.mesh import shard_batch as _shard_batch
+
+    n_dev = len(jax.devices())
+    if use_mesh and n_dev > 1 and batch_size % n_dev:
+        print(f"eval: batch_size {batch_size} not divisible by {n_dev} "
+              f"devices; running single-device (pick a multiple to shard)")
+        use_mesh = False
+    mesh = make_mesh() if (use_mesh and n_dev > 1) else None
+
+    def _jit_step(fn):
+        if mesh is None:
+            return jax.jit(fn)
+        # (state, images, targets, rng): state/targets/rng replicated,
+        # images batch-sharded
+        return shard_step(fn, mesh, n_batch_args=1, n_state_args=1,
+                          n_replicated_args=2, donate_state=False)
+
     if quantize:
         # int8 PTQ inference (models/quant.py): BN-folded per-channel weight
         # quant + dynamic activation quant; conv MACs run on the int8 MXU
@@ -93,19 +114,23 @@ def evaluate(
         )
 
         trunk = getattr(model, "posenet", model).feature_extractor
-        qtree = jax.device_put(quantize_posenet_variables(
+        qtree = quantize_posenet_variables(
             {"params": state.params["model"], "batch_stats": state.batch_stats},
             stage_sizes=tuple(trunk.stage_sizes),
-        ))
+        )
+        qtree = jax.device_put(
+            qtree, replicated(mesh)) if mesh is not None else jax.device_put(
+            qtree)
 
-        @jax.jit
-        def eval_step(state_, images, targets=None, rng=None):
+        def _quant_step(state_, images, targets=None, rng=None):
             if preprocess is not None:
                 images = preprocess(images)
             fn = mapnet_apply_int8 if images.ndim == 5 else posenet_apply_int8
             return jnp.zeros(()), fn(qtree, images)
+
+        eval_step = _jit_step(_quant_step)
     else:
-        eval_step = jax.jit(
+        eval_step = _jit_step(
             make_eval_step(model, None, preprocess=preprocess,
                            stochastic=stochastic)
         )
@@ -152,12 +177,10 @@ def evaluate(
             # PoseNet consumes (B, H, W, C); the _Single wrapper added a
             # frame axis only for uniform loader/batch bookkeeping
             x = x[:, 0]
-        if stochastic:
-            _, output = eval_step(
-                state, x, None, jax.random.fold_in(eval_rng, batch_idx)
-            )
-        else:
-            _, output = eval_step(state, x)
+        if mesh is not None:
+            x = _shard_batch(x, mesh)
+        rng = jax.random.fold_in(eval_rng, batch_idx) if stochastic else None
+        _, output = eval_step(state, x, None, rng)
         dev_outputs.append(output if output.ndim == 3 else output[:, None, :])
         targ = np.asarray(poses, np.float64)
         host_targets.append(targ if targ.ndim == 3 else targ[:, None, :])

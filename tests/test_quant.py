@@ -151,3 +151,34 @@ class TestEvaluateQuantized:
         # untrained nets predict near-constant poses; int8 must land close
         assert abs(got["median_t"] - ref["median_t"]) < \
             max(0.1 * abs(ref["median_t"]), 0.05)
+
+
+class TestShardedEvaluate:
+    """evaluate() runs data-parallel over the virtual 8-device mesh and
+    matches the single-device result (float and int8)."""
+
+    def _setup(self):
+        from geomapnet_tpu.data import MF, SyntheticScene
+        from geomapnet_tpu.losses import MapNetCriterion
+        from geomapnet_tpu.train import create_train_state, make_optimizer
+
+        model = MapNet(posenet=_posenet())
+        ds = MF(SyntheticScene(n_frames=20, height=64, width=96, train=False),
+                steps=3, skip=1)
+        state = create_train_state(
+            model, MapNetCriterion(), make_optimizer("adam", 1e-4),
+            jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 96, 3)),
+        )
+        return model, state, ds
+
+    @pytest.mark.parametrize("quantize", [False, True], ids=["float", "int8"])
+    def test_mesh_matches_single_device(self, quantize):
+        from geomapnet_tpu.cli.eval import evaluate
+
+        model, state, ds = self._setup()
+        kw = dict(batch_size=8, progress=False, quantize=quantize)
+        single = evaluate(model, state, ds, use_mesh=False, **kw)
+        sharded = evaluate(model, state, ds, use_mesh=True, **kw)
+        np.testing.assert_allclose(
+            sharded["pred_poses"], single["pred_poses"], atol=2e-4)
+        assert abs(sharded["median_t"] - single["median_t"]) < 1e-3

@@ -232,3 +232,83 @@ def test_two_process_trainer_epoch(tmp_path):
     # rank-0-only logging
     assert (tmp_path / "mh_0" / "log.txt").exists()
     assert not (tmp_path / "mh_1" / "log.txt").exists()
+
+
+def test_two_process_shared_logdir_checkpoint_and_resume(tmp_path):
+    """Rank-0 checkpointing under real multi-process: both processes share
+    ONE experiment logdir; only rank 0 writes (behind the all-rank barrier),
+    and a restart restores the same state on both ranks and keeps training."""
+    import socket
+    import subprocess
+    import sys
+    import textwrap
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    script = tmp_path / "ckpt_probe.py"
+    script.write_text(textwrap.dedent(f"""
+        import os, sys
+        proc_id = int(sys.argv[1])
+        phase = sys.argv[3]
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        sys.path.insert(0, {str(Path.cwd())!r})
+        from geomapnet_tpu.parallel import initialize_distributed
+        initialize_distributed(coordinator_address="localhost:{port}",
+                               num_processes=2, process_id=proc_id)
+        import numpy as np
+        from geomapnet_tpu.cli.config import ExperimentConfig
+        from geomapnet_tpu.data import MF, SyntheticScene
+        from geomapnet_tpu.losses import MapNetCriterion
+        from geomapnet_tpu.models import MapNet, PoseNet, resnet18
+        from geomapnet_tpu.train.loop import Trainer
+
+        def build(checkpoint=None):
+            model = MapNet(posenet=PoseNet(
+                feature_extractor=resnet18(), feat_dim=16, droprate=0.0))
+            cfg = ExperimentConfig(n_epochs=1, batch_size=8, do_val=False,
+                                   seed=7, snapshot=1, val_freq=5,
+                                   print_freq=1, opt="adam", lr=1e-3)
+            ds = MF(SyntheticScene(n_frames=18, height=16, width=24),
+                    steps=2, skip=1)
+            return Trainer(model, MapNetCriterion(saq=-3.0, srq=-3.0), cfg,
+                           "shared_exp", ds, None, logdir_root=sys.argv[2],
+                           checkpoint=checkpoint, resume_optim=True)
+
+        if phase == "train":
+            t = build()
+            t.train_val()
+        else:
+            ckpt = os.path.join(sys.argv[2], "shared_exp", "epoch_001")
+            assert os.path.exists(ckpt), ckpt
+            t = build(checkpoint=ckpt)
+            w = np.asarray(jax.tree.leaves(t.state.params["model"])[0])
+            np.save(sys.argv[2] + f"/resumed{{proc_id}}.npy", w)
+            t.train_val()
+        print("DONE", phase, proc_id)
+    """))
+
+    def run(phase):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(i), str(tmp_path), phase],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"{phase} proc {i} failed:\n{out[-3000:]}"
+        return outs
+
+    run("train")
+    ckpts = sorted((tmp_path / "shared_exp").glob("epoch_*"))
+    assert [c.name for c in ckpts] == ["epoch_000", "epoch_001"]
+
+    run("resume")
+    r0 = np.load(tmp_path / "resumed0.npy")
+    r1 = np.load(tmp_path / "resumed1.npy")
+    np.testing.assert_array_equal(r0, r1)  # both ranks restored identically

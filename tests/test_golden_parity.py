@@ -194,3 +194,48 @@ class TestHornAlign:
             atol=1e-9,
         )
         assert float(s) == pytest.approx(float(GOLDEN["align_out_s"]), rel=1e-9)
+
+
+class TestHornAlignExtended:
+    """Rotation-constrained camera alignment (the align_vo_poses tool path)
+    and the point-set Horn variants, pinned to reference outputs."""
+
+    def test_align_camera_poses_with_rotation_constraint(self):
+        R, t, s = align_camera_poses(
+            GOLDEN["align_o1"].copy(), GOLDEN["align_o2"].copy(),
+            GOLDEN["align_R1"].copy(), GOLDEN["align_R2"].copy(),
+            use_rotation_constraint=True,
+        )
+        npt.assert_allclose(R, GOLDEN["align_rc_R"], atol=1e-9)
+        npt.assert_allclose(np.asarray(t).reshape(-1),
+                            GOLDEN["align_rc_t"].reshape(-1), atol=1e-9)
+        assert float(s) == pytest.approx(float(GOLDEN["align_rc_s"]), rel=1e-9)
+
+    def test_align_3d_pts(self):
+        from geomapnet_tpu.geometry import align_3d_pts
+
+        R, t, s = align_3d_pts(GOLDEN["align_o1"].copy(),
+                               GOLDEN["align_o2"].copy())
+        npt.assert_allclose(R, GOLDEN["align3d_R"], atol=1e-9)
+        npt.assert_allclose(np.asarray(t).reshape(-1),
+                            GOLDEN["align3d_t"].reshape(-1), atol=1e-9)
+        assert float(s) == pytest.approx(float(GOLDEN["align3d_s"]), rel=1e-9)
+
+    def test_align_3d_pts_noscale(self):
+        from geomapnet_tpu.geometry import align_3d_pts_noscale
+
+        R, t = align_3d_pts_noscale(GOLDEN["align_o1"].copy(),
+                                    GOLDEN["align_o2"].copy())[:2]
+        npt.assert_allclose(R, GOLDEN["align3dns_R"], atol=1e-9)
+        npt.assert_allclose(np.asarray(t).reshape(-1),
+                            GOLDEN["align3dns_t"].reshape(-1), atol=1e-9)
+
+    def test_align_2d_pts(self):
+        from geomapnet_tpu.geometry import align_2d_pts
+
+        R, t, s = align_2d_pts(GOLDEN["align2d_x1"].copy(),
+                               GOLDEN["align2d_x2"].copy())
+        npt.assert_allclose(R, GOLDEN["align2d_R"], atol=1e-9)
+        npt.assert_allclose(np.asarray(t).reshape(-1),
+                            GOLDEN["align2d_t"].reshape(-1), atol=1e-9)
+        assert float(s) == pytest.approx(float(GOLDEN["align2d_s"]), rel=1e-9)

@@ -224,6 +224,22 @@ def capture():
     Re, te, se = PU.align_camera_poses(o1.copy(), o2.copy(), R1.copy(), R2.copy(),
                                        use_rotation_constraint=False)
     OUT["align_out_R"], OUT["align_out_t"], OUT["align_out_s"] = Re, arr(te), float(se)
+    Rc, tc, sc = PU.align_camera_poses(o1.copy(), o2.copy(), R1.copy(), R2.copy(),
+                                       use_rotation_constraint=True)
+    OUT["align_rc_R"], OUT["align_rc_t"], OUT["align_rc_s"] = Rc, arr(tc), float(sc)
+
+    # point-set Horn variants (x1 -> x2 maps)
+    R3, t3, s3 = PU.align_3d_pts(o1.copy(), o2.copy())
+    OUT["align3d_R"], OUT["align3d_t"], OUT["align3d_s"] = R3, arr(t3), float(s3)
+    Rn, tn = PU.align_3d_pts_noscale(o1.copy(), o2.copy())[:2]
+    OUT["align3dns_R"], OUT["align3dns_t"] = Rn, arr(tn)
+    x2d_1 = det((2, N), 4.4)
+    th, t2, s2d = 0.7, np.array([[0.3], [-0.8]]), 1.3
+    R2d = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    x2d_2 = s2d * (R2d @ (x2d_1 - t2))
+    OUT["align2d_x1"], OUT["align2d_x2"] = x2d_1, x2d_2
+    R2o, t2o, s2o = PU.align_2d_pts(x2d_1.copy(), x2d_2.copy())
+    OUT["align2d_R"], OUT["align2d_t"], OUT["align2d_s"] = R2o, arr(t2o), float(s2o)
 
     # ------------------------------------------------------------------ emit
     lines = [

@@ -27,6 +27,7 @@ import numpy as np
 __all__ = [
     "resnet34_state_shapes",
     "synthetic_resnet34_state_dict",
+    "synthetic_posenet_state_dict",
     "validate_trunk_state_dict",
 ]
 
@@ -91,6 +92,38 @@ def synthetic_resnet34_state_dict(torch_tensors: bool = True) -> dict:
             out[key] = torch.from_numpy(np.ascontiguousarray(v))
         else:
             out[key] = v
+    return out
+
+
+def synthetic_posenet_state_dict(feat_dim: int = 32,
+                                 torch_tensors: bool = True) -> dict:
+    """A full reference-PoseNet state dict with deterministic values.
+
+    Keys exactly as the reference's ``PoseNet(feature_extractor=resnet34())``
+    module emits (/root/reference/models/posenet.py:36-63): the trunk under
+    ``feature_extractor.`` with its ``fc`` REPLACED by a
+    ``(feat_dim, 512)`` layer, plus ``fc_xyz`` / ``fc_wpqr`` heads. Used to
+    drive the reference module and ours with identical weights in the
+    model-golden tests.
+    """
+    out = {}
+    for key, shape in resnet34_state_shapes(include_fc=False).items():
+        out[f"feature_extractor.{key}"] = _deterministic_values(key, shape)
+    heads = {
+        "feature_extractor.fc.weight": (feat_dim, 512),
+        "feature_extractor.fc.bias": (feat_dim,),
+        "fc_xyz.weight": (3, feat_dim),
+        "fc_xyz.bias": (3,),
+        "fc_wpqr.weight": (3, feat_dim),
+        "fc_wpqr.bias": (3,),
+    }
+    for key, shape in heads.items():
+        out[key] = _deterministic_values(key, shape)
+    if torch_tensors:
+        import torch
+
+        out = {k: torch.from_numpy(np.ascontiguousarray(v))
+               for k, v in out.items()}
     return out
 
 

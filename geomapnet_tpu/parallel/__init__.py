@@ -1,6 +1,12 @@
 """SPMD mesh + sharding helpers (data-parallel first-class)."""
 
 from .mesh import batch_sharding, make_mesh, replicated, shard_batch, shard_step
+from .tensor import (
+    head_tp_spec,
+    shard_step_tp,
+    spatial_image_sharding,
+    tp_state_shardings,
+)
 from .multihost import (
     initialize_distributed,
     is_distributed,

@@ -34,13 +34,34 @@ __all__ = [
 def make_mesh(
     devices: Sequence[jax.Device] | None = None,
     axis_names: tuple[str, ...] = ("data",),
+    shape: tuple[int, ...] | None = None,
 ) -> Mesh:
-    """Build a mesh over all (or the given) devices; 1-D data mesh by default."""
+    """Build a mesh over all (or the given) devices; 1-D data mesh by default.
+
+    For multi-axis meshes pass ``shape`` (one extent per axis name; a single
+    -1 is inferred), e.g. ``make_mesh(axis_names=("data", "model"),
+    shape=(4, 2))``. Axis order follows ICI locality on real pods: the
+    trailing (fastest-varying) axis groups adjacent devices, so put the
+    highest-traffic axis (model/tensor) last.
+    """
     if devices is None:
         devices = jax.devices()
     devs = np.asarray(devices)
-    if len(axis_names) == 1:
-        devs = devs.reshape(-1)
+    if shape is None:
+        if len(axis_names) != 1:
+            raise ValueError(
+                f"mesh with axes {axis_names} needs an explicit shape"
+            )
+        shape = (-1,)
+    if len(shape) != len(axis_names):
+        raise ValueError(f"shape {shape} does not match axes {axis_names}")
+    try:
+        devs = devs.reshape(shape)
+    except ValueError:
+        raise ValueError(
+            f"cannot arrange {devs.size} devices into a {shape} "
+            f"{axis_names} mesh"
+        ) from None
     return Mesh(devs, axis_names)
 
 

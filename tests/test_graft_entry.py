@@ -29,7 +29,10 @@ def test_entry_traces_and_shapes():
 def test_dryrun_multichip_on_available_devices(capsys):
     # 4 <= the suite's 8 virtual devices: runs in-process (no re-exec)
     graft.dryrun_multichip(4)
-    assert "dryrun_multichip(4): ok" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert "dryrun_multichip(4): dp ok" in out
+    assert "dryrun_multichip(4): dp2xtp2 ok" in out
+    assert "dryrun_multichip(4): spatial eval ok" in out
 
 
 def test_reexec_env_construction(monkeypatch):

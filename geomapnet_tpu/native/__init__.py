@@ -23,6 +23,7 @@ __all__ = [
     "decode_batch",
     "decode_batch_gray",
     "decode_image",
+    "io_backend",
     "lib_path",
 ]
 
@@ -78,6 +79,21 @@ def _load():
 def available() -> bool:
     """True when the native library is built and loadable."""
     return _load() is not None
+
+
+def io_backend() -> str | None:
+    """Batch-read backend the library chose for this process.
+
+    ``"io_uring"`` (async kernel reads; the default where the kernel and
+    seccomp policy allow it — set ``GM_DISABLE_URING=1`` to opt out) or
+    ``"pread"`` (synchronous fallback). None when the library is not built
+    or predates the async reader.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "gm_io_backend"):
+        return None
+    lib.gm_io_backend.restype = ctypes.c_char_p
+    return lib.gm_io_backend().decode()
 
 
 def decode_image(path: str, out_h: int, out_w: int) -> np.ndarray | None:

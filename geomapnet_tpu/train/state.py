@@ -64,7 +64,8 @@ def create_train_state(
 
 
 def make_train_step(
-    model, criterion, tx: optax.GradientTransformation, preprocess=None
+    model, criterion, tx: optax.GradientTransformation, preprocess=None,
+    remat: bool = False,
 ) -> Callable:
     """Build the pure train step: (state, images, targets, rng) -> (state, loss).
 
@@ -75,6 +76,9 @@ def make_train_step(
         :func:`geomapnet_tpu.ops.image.make_device_pipeline`) fused into the
         step, letting the host ship raw uint8 batches (4x less transfer than
         normalized float32).
+    :param remat: rematerialize the forward in the backward pass
+        (``jax.checkpoint`` around the model apply): trades recompute FLOPs
+        for activation HBM, enabling batch sizes past the memory knee.
     """
 
     def train_step(state: TrainState, images, targets, rng):
@@ -84,14 +88,20 @@ def make_train_step(
         else:
             images_p = images
 
-        def loss_fn(params):
-            out, mutated = model.apply(
-                {"params": params["model"], "batch_stats": state.batch_stats},
-                images_p,
+        def apply_fn(model_params, x):
+            return model.apply(
+                {"params": model_params, "batch_stats": state.batch_stats},
+                x,
                 train=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": dropout_rng},
             )
+
+        if remat:
+            apply_fn = jax.checkpoint(apply_fn)
+
+        def loss_fn(params):
+            out, mutated = apply_fn(params["model"], images_p)
             loss = criterion(params["criterion"], out, targets)
             return loss, mutated["batch_stats"]
 

@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--f32", action="store_true", help="float32 compute")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialized backward (jax.checkpoint)")
     args = ap.parse_args()
 
     from geomapnet_tpu.losses import MapNetCriterion
@@ -64,7 +66,7 @@ def main():
         targets = jax.random.normal(jax.random.PRNGKey(1), (bs, T, 6),
                                     jnp.float32) * 0.1
         state = create_train_state(model, criterion, tx, rng, images[:1])
-        step = jax.jit(make_train_step(model, criterion, tx),
+        step = jax.jit(make_train_step(model, criterion, tx, remat=args.remat),
                        donate_argnums=(0,))
         for _ in range(args.warmup):
             state, loss = step(state, images, targets, rng)
@@ -78,6 +80,7 @@ def main():
         print(json.dumps({
             "metric": "train_images_per_sec_per_chip",
             "batch_tuples": bs,
+            "remat": args.remat,
             "dtype": str(dtype.__name__),
             "value": round(bs * T * args.iters / dt, 1),
             "step_ms": round(1000 * dt / args.iters, 2),

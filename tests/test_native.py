@@ -1,5 +1,8 @@
 """Native C++ image decoder tests (skipped when the library isn't built)."""
 
+import os
+from pathlib import Path
+
 import numpy as np
 import pytest
 from PIL import Image
@@ -179,3 +182,48 @@ def test_sevenscenes_both_mode_native(tmp_path, rng):
         assert isinstance(pair, list) and len(pair) == 2
         assert pair[0].shape == (16, 24, 3) and pair[0].dtype == np.uint8
         assert pair[1].shape == (16, 24) and pair[1].dtype == np.uint16
+
+
+def test_io_backend_reports():
+    from geomapnet_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    assert native.io_backend() in ("io_uring", "pread")
+
+
+def test_pread_fallback_decodes_identically(tmp_path, rng):
+    """GM_DISABLE_URING=1 (fresh process: the probe is per-process static)
+    must produce the same bytes as the default backend."""
+    import subprocess
+    import sys
+
+    from geomapnet_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    paths = []
+    for i in range(4):
+        img = rng.randint(0, 256, (20, 28, 3)).astype(np.uint8)
+        p = tmp_path / f"f{i}.png"
+        Image.fromarray(img).save(p)
+        paths.append(str(p))
+    here, _ = native.decode_batch(paths, 20, 28, n_threads=2)
+    np.save(tmp_path / "expected.npy", here)
+
+    code = (
+        "import sys, numpy as np\n"
+        f"sys.path.insert(0, {str(Path(__file__).resolve().parents[1])!r})\n"
+        "from geomapnet_tpu import native\n"
+        "assert native.io_backend() == 'pread', native.io_backend()\n"
+        f"got, ok = native.decode_batch({paths!r}, 20, 28, n_threads=2)\n"
+        "assert ok.all()\n"
+        f"exp = np.load({str(tmp_path / 'expected.npy')!r})\n"
+        "assert np.array_equal(got, exp)\n"
+        "print('pread ok')\n"
+    )
+    env = dict(os.environ, GM_DISABLE_URING="1")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert "pread ok" in out.stdout

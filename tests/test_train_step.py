@@ -57,6 +57,20 @@ class TestTrainStep:
         s1, _ = step(state, images, targets, rng)
         assert float(s1.params["criterion"]["sax"]) != 0.0
 
+    def test_remat_step_matches(self, setup):
+        """remat=True recomputes the forward in the backward — same math."""
+        model, criterion, tx, state = setup
+        rng = jax.random.PRNGKey(1)
+        images = jax.random.normal(rng, (2, 3, 32, 32, 3))
+        targets = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 6)) * 0.1
+        step = jax.jit(make_train_step(model, criterion, tx))
+        rstep = jax.jit(make_train_step(model, criterion, tx, remat=True))
+        s1, l1 = step(state, images, targets, rng)
+        s2, l2 = rstep(state, images, targets, rng)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
     def test_eval_step_deterministic(self, setup):
         model, criterion, _, state = setup
         images = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 32, 32, 3))

@@ -84,6 +84,12 @@ def main(argv=None):
                         help="capture a JAX profiler trace of early batches")
     parser.add_argument("--debug_nans", action="store_true",
                         help="fail fast on the first NaN in jitted code")
+    parser.add_argument(
+        "--grad_accum", type=int, default=1,
+        help="gradient-accumulation microbatches per optimizer step: the "
+        ".ini batch_size stays the EFFECTIVE batch while HBM holds only "
+        "batch_size/grad_accum activations at a time",
+    )
     parser.add_argument("--tensorboard", action="store_true",
                         help="emit TensorBoard event files next to metrics.jsonl")
     parser.add_argument(
@@ -147,7 +153,7 @@ def main(argv=None):
         val_criterion=val_criterion, checkpoint=checkpoint,
         resume_optim=resume_optim, use_mesh=not args.no_mesh,
         profile_dir=args.profile_dir, debug_nans=args.debug_nans,
-        preprocess=preprocess,
+        preprocess=preprocess, accum_steps=args.grad_accum,
         # `visdom = yes` in reference .ini files maps to the TensorBoard
         # writer — the live-dashboard equivalent here
         tensorboard=args.tensorboard or config.visdom,

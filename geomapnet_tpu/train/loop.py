@@ -50,6 +50,9 @@ class Trainer:
     :param preprocess: optional device-side image function fused into the
         jit'd steps (see :func:`geomapnet_tpu.cli.builders.build_device_preprocess`);
         the loader should then emit raw uint8 batches (``keep_uint8``)
+    :param accum_steps: gradient-accumulation microbatches per optimizer
+        step (see :func:`geomapnet_tpu.train.make_train_step`); batch_size
+        stays the effective batch
     """
 
     def __init__(
@@ -69,6 +72,7 @@ class Trainer:
         debug_nans: bool = False,
         preprocess=None,
         tensorboard: bool = False,
+        accum_steps: int = 1,
     ):
         self.model = model
         self.config = config
@@ -167,7 +171,8 @@ class Trainer:
             make_mesh() if (use_mesh or self.process_count > 1) else None
         )
         train_step = make_train_step(model, train_criterion, self.tx,
-                                     preprocess=preprocess)
+                                     preprocess=preprocess,
+                                     accum_steps=accum_steps)
         eval_step = make_eval_step(model, self.val_criterion,
                                    preprocess=preprocess)
         if self.mesh is not None and self.mesh.devices.size > 1:

@@ -65,7 +65,7 @@ def create_train_state(
 
 def make_train_step(
     model, criterion, tx: optax.GradientTransformation, preprocess=None,
-    remat: bool = False,
+    remat: bool = False, accum_steps: int = 1,
 ) -> Callable:
     """Build the pure train step: (state, images, targets, rng) -> (state, loss).
 
@@ -79,6 +79,15 @@ def make_train_step(
     :param remat: rematerialize the forward in the backward pass
         (``jax.checkpoint`` around the model apply): trades recompute FLOPs
         for activation HBM, enabling batch sizes past the memory knee.
+    :param accum_steps: gradient accumulation — split each batch into this
+        many microbatches, run them through a ``lax.scan`` (one resident
+        activation set at a time), average the grads, apply ONE optimizer
+        update. Effective batch = the full array handed to the step; HBM
+        high-water = one microbatch. The batch dim must divide evenly (and,
+        when data-parallel, each microbatch must still divide the mesh's
+        data axis). BN statistics advance per microbatch (the usual
+        grad-accum semantics); losses are per-batch means, so averaged
+        microbatch grads equal the full-batch grads aside from BN.
     """
 
     def train_step(state: TrainState, images, targets, rng):
@@ -88,26 +97,61 @@ def make_train_step(
         else:
             images_p = images
 
-        def apply_fn(model_params, x):
+        def apply_fn(model_params, batch_stats, x, drng):
             return model.apply(
-                {"params": model_params, "batch_stats": state.batch_stats},
+                {"params": model_params, "batch_stats": batch_stats},
                 x,
                 train=True,
                 mutable=["batch_stats"],
-                rngs={"dropout": dropout_rng},
+                rngs={"dropout": drng},
             )
 
         if remat:
             apply_fn = jax.checkpoint(apply_fn)
 
-        def loss_fn(params):
-            out, mutated = apply_fn(params["model"], images_p)
-            loss = criterion(params["criterion"], out, targets)
-            return loss, mutated["batch_stats"]
+        def grads_of(params, batch_stats, imgs, tgts, drng):
+            def loss_fn(p):
+                out, mutated = apply_fn(p["model"], batch_stats, imgs, drng)
+                loss = criterion(p["criterion"], out, tgts)
+                return loss, mutated["batch_stats"]
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+            return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        if accum_steps == 1:
+            (loss, new_stats), grads = grads_of(
+                state.params, state.batch_stats, images_p, targets,
+                dropout_rng,
+            )
+        else:
+            batch = images_p.shape[0]
+            if batch % accum_steps:
+                raise ValueError(
+                    f"batch {batch} is not divisible into "
+                    f"{accum_steps} accumulation microbatches"
+                )
+            micro = batch // accum_steps
+            imgs = images_p.reshape((accum_steps, micro) + images_p.shape[1:])
+            tgts = targets.reshape((accum_steps, micro) + targets.shape[1:])
+
+            def body(carry, xs):
+                stats, grad_sum, loss_sum = carry
+                im, tg, k = xs
+                (loss_k, stats), grads_k = grads_of(
+                    state.params, stats, im, tg,
+                    jax.random.fold_in(dropout_rng, k),
+                )
+                grad_sum = jax.tree.map(jnp.add, grad_sum, grads_k)
+                return (stats, grad_sum, loss_sum + loss_k), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (new_stats, grad_sum, loss_sum), _ = jax.lax.scan(
+                body,
+                (state.batch_stats, zeros, jnp.zeros(())),
+                (imgs, tgts, jnp.arange(accum_steps)),
+            )
+            grads = jax.tree.map(lambda g: g / accum_steps, grad_sum)
+            loss = loss_sum / accum_steps
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (

@@ -71,6 +71,57 @@ class TestTrainStep:
         for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    def test_grad_accum_matches_full_batch(self):
+        """accum_steps=2 == one full-batch step when the model has no BN.
+
+        (With BN the statistics legitimately advance per microbatch; a
+        BN-free trunk isolates the accumulation math itself.)
+        """
+        from flax import linen as nn
+
+        class FlatTrunk(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                return nn.Dense(16)(x.reshape((x.shape[0], -1)))
+
+        model = MapNet(posenet=PoseNet(feature_extractor=FlatTrunk(),
+                                       feat_dim=8, droprate=0.0))
+        criterion = MapNetCriterion(learn_beta=True, learn_gamma=True)
+        tx = make_optimizer("adam", 1e-3)
+        images = jax.random.normal(jax.random.PRNGKey(3), (4, 3, 8, 8, 3))
+        targets = jax.random.normal(jax.random.PRNGKey(4), (4, 3, 6)) * 0.1
+        state = create_train_state(model, criterion, tx, jax.random.PRNGKey(0),
+                                   images[:1])
+        rng = jax.random.PRNGKey(9)
+
+        full = jax.jit(make_train_step(model, criterion, tx))
+        acc = jax.jit(make_train_step(model, criterion, tx, accum_steps=2))
+        s1, l1 = full(state, images, targets, rng)
+        s2, l2 = acc(state, images, targets, rng)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        assert int(s2.step) == 1
+
+    def test_grad_accum_indivisible_raises(self, setup):
+        model, criterion, tx, state = setup
+        step = make_train_step(model, criterion, tx, accum_steps=3)
+        with pytest.raises(ValueError, match="not divisible"):
+            step(state, jnp.zeros((4, 3, 32, 32, 3)), jnp.zeros((4, 3, 6)),
+                 jax.random.PRNGKey(0))
+
+    def test_grad_accum_with_bn_runs(self, setup):
+        model, criterion, tx, state = setup
+        step = jax.jit(make_train_step(model, criterion, tx, accum_steps=2))
+        images = jax.random.normal(jax.random.PRNGKey(5), (4, 3, 32, 32, 3))
+        targets = jnp.zeros((4, 3, 6))
+        s, loss = step(state, images, targets, jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+        # BN stats advanced through both microbatches
+        ref = jax.tree.leaves(state.batch_stats)[0]
+        got = jax.tree.leaves(s.batch_stats)[0]
+        assert not np.allclose(np.asarray(ref), np.asarray(got))
+
     def test_eval_step_deterministic(self, setup):
         model, criterion, _, state = setup
         images = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 32, 32, 3))

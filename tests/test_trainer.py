@@ -65,3 +65,11 @@ def test_resume_continues_epoch(tmp_path):
     a = jax.tree.leaves(trainer.state.params["model"])[0]
     b = jax.tree.leaves(resumed.state.params["model"])[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grad_accum_trainer_epoch(tmp_path):
+    """One epoch with accum_steps=2: same schedule, loss finite, improves."""
+    trainer = _build(tmp_path, n_epochs=2, accum_steps=2)
+    first = trainer.validate(0)
+    trainer.train_val()
+    assert trainer.validate(99) < first

@@ -46,10 +46,22 @@ def build_model(
     model_name: str,
     config: ExperimentConfig,
     dtype=jnp.float32,
+    trunk: str = "resnet34",
 ) -> tuple:
-    """Returns (flax module, is_tuple_model)."""
+    """Returns (flax module, is_tuple_model).
+
+    ``trunk`` selects the feature extractor (the reference hard-codes
+    resnet34 at /root/reference/scripts/train.py:76, but its PoseNet accepts
+    any torchvision trunk — /root/reference/models/posenet.py:36-46).
+    """
+    from ..models import resnet18, resnet50
+
+    trunks = {"resnet18": resnet18, "resnet34": resnet34,
+              "resnet50": resnet50}
+    if trunk not in trunks:
+        raise ValueError(f"unknown trunk {trunk!r}; pick from {sorted(trunks)}")
     posenet = PoseNet(
-        feature_extractor=resnet34(dtype=dtype),
+        feature_extractor=trunks[trunk](dtype=dtype),
         droprate=config.dropout,
         filter_nans=(model_name == "mapnet++"),
         dtype=dtype,

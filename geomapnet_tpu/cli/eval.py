@@ -297,6 +297,9 @@ def main(argv=None):
                         help="orbax checkpoint dir or converted npz")
     parser.add_argument("--model", required=True,
                         choices=("posenet", "mapnet", "mapnet++"))
+    parser.add_argument("--trunk", default="resnet34",
+                        choices=("resnet18", "resnet34", "resnet50"),
+                        help="feature extractor (reference fixes resnet34)")
     parser.add_argument("--device", type=str, default="0")
     parser.add_argument("--config_file", type=str, required=True)
     parser.add_argument("--val", action="store_true")
@@ -334,7 +337,7 @@ def main(argv=None):
 
     use_tuples = args.model.startswith("mapnet") or args.pose_graph
     model_kind = "mapnet" if use_tuples else "posenet"
-    model, _ = build_model(model_kind, config, dtype=dtype)
+    model, _ = build_model(model_kind, config, dtype=dtype, trunk=args.trunk)
     criterion, _ = build_criteria(model_kind, config, False, False)
 
     # template state for checkpoint restore

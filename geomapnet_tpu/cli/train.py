@@ -44,6 +44,9 @@ def main(argv=None):
     parser.add_argument("--config_file", type=str, required=True)
     parser.add_argument("--model", required=True,
                         choices=("posenet", "mapnet", "mapnet++"))
+    parser.add_argument("--trunk", default="resnet34",
+                        choices=("resnet18", "resnet34", "resnet50"),
+                        help="feature extractor (reference fixes resnet34)")
     parser.add_argument("--device", type=str, default="0",
                         help="unused on TPU (kept for CLI parity)")
     parser.add_argument("--checkpoint", type=str, default=None)
@@ -108,7 +111,7 @@ def main(argv=None):
     config = parse_ini(args.config_file)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
-    model, _ = build_model(args.model, config, dtype=dtype)
+    model, _ = build_model(args.model, config, dtype=dtype, trunk=args.trunk)
     train_criterion, val_criterion = build_criteria(
         args.model, config, args.learn_beta, args.learn_gamma
     )

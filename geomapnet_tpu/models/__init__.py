@@ -1,6 +1,6 @@
 """Pose-regression models: ResNet trunk, PoseNet/MapNet heads, weight import."""
 
-from .resnet import ResNet, resnet18, resnet34
+from .resnet import ResNet, resnet18, resnet34, resnet50
 from .posenet import MapNet, PoseNet, nan_grad_guard
 from .torch_import import (
     convert_state_dict,

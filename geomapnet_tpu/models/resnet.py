@@ -25,7 +25,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["ResNet", "resnet18", "resnet34"]
+__all__ = ["ResNet", "resnet18", "resnet34", "resnet50"]
 
 # matches torch.nn.init.kaiming_normal_ defaults (fan_in, gain sqrt(2)) used
 # by the reference's re-init path (/root/reference/models/posenet.py:59-63)
@@ -75,14 +75,62 @@ class BasicBlock(nn.Module):
         return nn.relu(y + identity.astype(y.dtype))
 
 
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck with 4x expansion (torchvision
+    Bottleneck; stride lives on the 3x3 as in torchvision's v1.5 graph)."""
+
+    filters: int  # bottleneck width; the block outputs filters * 4
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        conv = partial(
+            nn.Conv,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=kaiming_normal,
+        )
+        norm = partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )
+
+        out_ch = self.filters * 4
+        identity = x
+        y = conv(self.filters, (1, 1), name="conv1")(x)
+        y = nn.relu(norm(name="bn1")(y))
+        y = conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                 padding=[(1, 1), (1, 1)], name="conv2")(y)
+        y = nn.relu(norm(name="bn2")(y))
+        y = conv(out_ch, (1, 1), name="conv3")(y)
+        y = norm(name="bn3")(y)
+
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            identity = conv(out_ch, (1, 1),
+                            strides=(self.stride, self.stride),
+                            name="downsample_conv")(x)
+            identity = norm(name="downsample_bn")(identity)
+
+        return nn.relu(y + identity.astype(y.dtype))
+
+
 class ResNet(nn.Module):
     """ResNet trunk ending at the pooled feature vector.
 
     :param stage_sizes: blocks per stage, e.g. (3, 4, 6, 3) for ResNet-34
+    :param block_cls: :class:`BasicBlock` (18/34) or :class:`Bottleneck`
+        (50/101/152)
     :param dtype: compute dtype (bfloat16 recommended on TPU)
     """
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    block_cls: type = BasicBlock
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -106,7 +154,7 @@ class ResNet(nn.Module):
             filters = 64 * (2 ** stage)
             for block in range(n_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
-                x = BasicBlock(
+                x = self.block_cls(
                     filters=filters, stride=stride, dtype=self.dtype,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train=train)
@@ -125,3 +173,11 @@ def resnet34(dtype: Any = jnp.float32, name: str | None = None) -> ResNet:
 def resnet18(dtype: Any = jnp.float32, name: str | None = None) -> ResNet:
     """ResNet-18 trunk (lighter option for ablations/tests)."""
     return ResNet(stage_sizes=(2, 2, 2, 2), dtype=dtype, name=name)
+
+
+def resnet50(dtype: Any = jnp.float32, name: str | None = None) -> ResNet:
+    """ResNet-50 trunk (2048-d features): the reference's PoseNet accepts any
+    torchvision trunk (/root/reference/models/posenet.py:36-46), so heavier
+    backbones are first-class here too."""
+    return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, dtype=dtype,
+                  name=name)

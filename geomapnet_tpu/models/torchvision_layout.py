@@ -26,7 +26,9 @@ import numpy as np
 
 __all__ = [
     "resnet34_state_shapes",
+    "resnet50_state_shapes",
     "synthetic_resnet34_state_dict",
+    "synthetic_resnet50_state_dict",
     "synthetic_posenet_state_dict",
     "validate_trunk_state_dict",
 ]
@@ -66,6 +68,35 @@ def resnet34_state_shapes(include_fc: bool = True) -> dict[str, tuple[int, ...]]
     return shapes
 
 
+def resnet50_state_shapes(include_fc: bool = True) -> dict[str, tuple[int, ...]]:
+    """Key -> shape for ``torchvision.models.resnet50().state_dict()``
+    (Bottleneck graph: 1x1/3x3/1x1 at widths [64, 128, 256, 512] with 4x
+    expansion; a projection downsample on the FIRST block of every stage,
+    including layer1 where 64 -> 256 channels)."""
+    shapes: dict[str, tuple[int, ...]] = {"conv1.weight": (64, 3, 7, 7)}
+    _bn(shapes, "bn1", 64)
+    c_in = 64
+    for stage, n_blocks, width in _STAGES:
+        out = width * 4
+        for b in range(n_blocks):
+            prefix = f"layer{stage}.{b}"
+            cin = c_in if b == 0 else out
+            shapes[f"{prefix}.conv1.weight"] = (width, cin, 1, 1)
+            _bn(shapes, f"{prefix}.bn1", width)
+            shapes[f"{prefix}.conv2.weight"] = (width, width, 3, 3)
+            _bn(shapes, f"{prefix}.bn2", width)
+            shapes[f"{prefix}.conv3.weight"] = (out, width, 1, 1)
+            _bn(shapes, f"{prefix}.bn3", out)
+            if b == 0:
+                shapes[f"{prefix}.downsample.0.weight"] = (out, cin, 1, 1)
+                _bn(shapes, f"{prefix}.downsample.1", out)
+        c_in = out
+    if include_fc:
+        shapes["fc.weight"] = (1000, 2048)
+        shapes["fc.bias"] = (1000,)
+    return shapes
+
+
 def _deterministic_values(key: str, shape: tuple[int, ...]) -> np.ndarray:
     """Reproducible filler values keyed by tensor name (stable across torch/
     numpy versions — no library RNG streams involved in the seed)."""
@@ -85,6 +116,20 @@ def synthetic_resnet34_state_dict(torch_tensors: bool = True) -> dict:
     sha256 of these exact values is recorded in the committed fixture)."""
     out = {}
     for key, shape in resnet34_state_shapes().items():
+        v = _deterministic_values(key, shape)
+        if torch_tensors:
+            import torch
+
+            out[key] = torch.from_numpy(np.ascontiguousarray(v))
+        else:
+            out[key] = v
+    return out
+
+
+def synthetic_resnet50_state_dict(torch_tensors: bool = True) -> dict:
+    """As :func:`synthetic_resnet34_state_dict`, for the Bottleneck graph."""
+    out = {}
+    for key, shape in resnet50_state_shapes().items():
         v = _deterministic_values(key, shape)
         if torch_tensors:
             import torch
@@ -127,11 +172,14 @@ def synthetic_posenet_state_dict(feat_dim: int = 32,
     return out
 
 
-def validate_trunk_state_dict(state_dict) -> list[str]:
+def validate_trunk_state_dict(state_dict, arch: str = "resnet34") -> list[str]:
     """Check a (prefix-stripped) trunk state dict against the torchvision
     layout. Returns a list of human-readable problems (empty = valid).
     ``fc.*`` is optional: the classifier is discarded on import anyway."""
-    expected = resnet34_state_shapes()
+    expected = {
+        "resnet34": resnet34_state_shapes,
+        "resnet50": resnet50_state_shapes,
+    }[arch]()
     problems = []
     for key, shape in expected.items():
         if key.startswith("fc."):

@@ -262,3 +262,33 @@ class TestVidLoc:
             state, loss = step(state, images, targets, jax.random.PRNGKey(2))
             losses.append(float(loss))
         assert losses[-1] < losses[0]
+
+
+def test_resnet50_posenet_forward():
+    """Bottleneck trunk plugs into PoseNet like any torchvision trunk does
+    in the reference (/root/reference/models/posenet.py:36-46)."""
+    import jax
+    import jax.numpy as jnp
+
+    from geomapnet_tpu.models import PoseNet, resnet50
+
+    model = PoseNet(feature_extractor=resnet50(), feat_dim=16, droprate=0.0)
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    # 4x expansion: trunk features are 2048-d
+    assert variables["params"]["fc_feat"]["kernel"].shape == (2048, 16)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 6)
+
+
+def test_build_model_trunk_choice():
+    from geomapnet_tpu.cli.builders import build_model
+    from geomapnet_tpu.cli.config import ExperimentConfig
+
+    cfg = ExperimentConfig(dropout=0.0)
+    model, is_tuple = build_model("mapnet", cfg, trunk="resnet18")
+    assert is_tuple
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown trunk"):
+        build_model("posenet", cfg, trunk="vgg16")

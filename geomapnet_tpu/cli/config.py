@@ -81,7 +81,9 @@ def parse_ini(path: str | Path) -> ExperimentConfig:
 
     if "optimization" in settings:
         opt = dict(settings["optimization"])
-        cfg.opt = opt.pop("opt", cfg.opt)
+        # the reference leaves the method name unquoted (json.loads skips
+        # it); tolerate a json-quoted spelling too
+        cfg.opt = opt.pop("opt", cfg.opt).strip("\"'")
         parsed = {k: json.loads(v) for k, v in opt.items()}
         cfg.lr = parsed.pop("lr", cfg.lr)
         cfg.weight_decay = parsed.pop("weight_decay", cfg.weight_decay)

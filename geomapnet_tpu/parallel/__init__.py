@@ -1,6 +1,7 @@
 """SPMD mesh + sharding helpers (data-parallel first-class)."""
 
 from .mesh import batch_sharding, make_mesh, replicated, shard_batch, shard_step
+from .pipeline import pipeline_apply, stage_shapes
 from .tensor import (
     head_tp_spec,
     shard_step_tp,

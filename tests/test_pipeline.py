@@ -1,0 +1,105 @@
+"""Pipeline parallelism: GPipe schedule over a 'stage' mesh axis.
+
+Exactness bar: pipelined execution must reproduce sequential composition
+(see test_tensor_parallel.py for the sibling tp/sp strategies).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from geomapnet_tpu.parallel import make_mesh
+from geomapnet_tpu.parallel.pipeline import pipeline_apply, stage_shapes
+
+
+def _mlp_stages(key, dims=(12, 32, 20, 8, 5)):
+    """A chain of dense+tanh stages with DIFFERENT activation shapes."""
+    keys = jax.random.split(key, len(dims) - 1)
+    stages = []
+    for k, din, dout in zip(keys, dims[:-1], dims[1:]):
+        w = jax.random.normal(k, (din, dout)) / np.sqrt(din)
+
+        def stage(a, w=w):
+            return jnp.tanh(a @ w)
+
+        stages.append(stage)
+    return stages
+
+
+class TestPipeline:
+    def test_matches_sequential(self):
+        stages = _mlp_stages(jax.random.PRNGKey(0))
+        mesh = make_mesh(jax.devices()[:4], ("stage",), (4,))
+        x = jax.random.normal(jax.random.PRNGKey(1), (12, 12))
+
+        ref = x
+        for f in stages:
+            ref = f(ref)
+
+        for n_micro in (1, 3, 6, 12):
+            got = pipeline_apply(stages, mesh, x, n_microbatches=n_micro)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-6, err_msg=f"M={n_micro}")
+
+    def test_single_stage_degenerates(self):
+        stages = _mlp_stages(jax.random.PRNGKey(0), dims=(6, 4))
+        mesh = make_mesh(jax.devices()[:1], ("stage",), (1,))
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 6))
+        got = pipeline_apply(stages, mesh, x, n_microbatches=2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(stages[0](x)),
+                                   atol=1e-6)
+
+    def test_validation_errors(self):
+        stages = _mlp_stages(jax.random.PRNGKey(0), dims=(6, 4, 3))
+        mesh = make_mesh(jax.devices()[:4], ("stage",), (4,))
+        with pytest.raises(ValueError, match="stage functions"):
+            pipeline_apply(stages, mesh, jnp.zeros((4, 6)), 2)
+        mesh2 = make_mesh(jax.devices()[:2], ("stage",), (2,))
+        with pytest.raises(ValueError, match="not divisible"):
+            pipeline_apply(stages, mesh2, jnp.zeros((5, 6)), 2)
+
+    def test_stage_shapes(self):
+        stages = _mlp_stages(jax.random.PRNGKey(0), dims=(6, 4, 3))
+        shapes = stage_shapes(
+            stages, jax.ShapeDtypeStruct((2, 6), jnp.float32)
+        )
+        assert [s.shape for _, s in shapes] == [(2, 4), (2, 3)]
+
+    def test_posenet_trunk_head_split(self):
+        """A REAL model split: stage 0 = ResNet trunk, stage 1 = pose head.
+
+        The head stage reproduces PoseNet's eval-time head from its params
+        (fc_feat -> relu -> fc_xyz/fc_wpqr concat; dropout is identity in
+        deterministic eval) so the pipelined output must equal the full
+        module's apply.
+        """
+        from geomapnet_tpu.models import PoseNet, resnet18
+
+        trunk = resnet18()
+        model = PoseNet(feature_extractor=trunk, feat_dim=16, droprate=0.5)
+        x = jax.random.normal(jax.random.PRNGKey(2), (4, 32, 32, 3))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        ref = model.apply(variables, x, train=False)
+
+        tvars = {
+            "params": variables["params"]["feature_extractor"],
+            "batch_stats": variables["batch_stats"]["feature_extractor"],
+        }
+        head = variables["params"]
+
+        def stage_trunk(a):
+            return trunk.apply(tvars, a, train=False)
+
+        def stage_head(feats):
+            h = feats @ head["fc_feat"]["kernel"] + head["fc_feat"]["bias"]
+            h = jax.nn.relu(h)
+            xyz = h @ head["fc_xyz"]["kernel"] + head["fc_xyz"]["bias"]
+            wpqr = h @ head["fc_wpqr"]["kernel"] + head["fc_wpqr"]["bias"]
+            return jnp.concatenate([xyz, wpqr], axis=-1)
+
+        mesh = make_mesh(jax.devices()[:2], ("stage",), (2,))
+        got = pipeline_apply([stage_trunk, stage_head], mesh, x,
+                             n_microbatches=2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)

@@ -33,6 +33,7 @@ def test_dryrun_multichip_on_available_devices(capsys):
     assert "dryrun_multichip(4): dp ok" in out
     assert "dryrun_multichip(4): dp2xtp2 ok" in out
     assert "dryrun_multichip(4): spatial eval ok" in out
+    assert "dryrun_multichip(4): pp2 ok" in out
 
 
 def test_reexec_env_construction(monkeypatch):

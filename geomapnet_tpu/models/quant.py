@@ -76,6 +76,9 @@ def _quant_block(params: Mapping, stats: Mapping) -> dict:
         "conv2": _fold_conv_bn(params["conv2"]["kernel"], params["bn2"],
                                stats["bn2"]),
     }
+    if "conv3" in params:  # Bottleneck (resnet50-family)
+        out["conv3"] = _fold_conv_bn(params["conv3"]["kernel"], params["bn3"],
+                                     stats["bn3"])
     if "downsample_conv" in params:
         out["downsample"] = _fold_conv_bn(
             params["downsample_conv"]["kernel"], params["downsample_bn"],
@@ -128,15 +131,27 @@ def _quant_conv(x: jnp.ndarray, q: Mapping, strides, padding,
     return y.astype(dtype)
 
 
-def _quant_basic_block(x: jnp.ndarray, q: Mapping, dtype) -> jnp.ndarray:
-    # in this family (BasicBlock ResNets) a projection downsample exists
-    # exactly on the stride-2 stage-opening blocks
-    s = (2, 2) if ("downsample" in q) else (1, 1)
-    y = _quant_conv(x, q["conv1"], s, [(1, 1), (1, 1)], dtype)
+def _quant_basic_block(x: jnp.ndarray, q: Mapping, stride, dtype
+                       ) -> jnp.ndarray:
+    y = _quant_conv(x, q["conv1"], stride, [(1, 1), (1, 1)], dtype)
     y = jax.nn.relu(y)
     y = _quant_conv(y, q["conv2"], (1, 1), [(1, 1), (1, 1)], dtype)
     identity = (
-        _quant_conv(x, q["downsample"], s, [(0, 0), (0, 0)], dtype)
+        _quant_conv(x, q["downsample"], stride, [(0, 0), (0, 0)], dtype)
+        if "downsample" in q else x
+    )
+    return jax.nn.relu(y + identity)
+
+
+def _quant_bottleneck_block(x: jnp.ndarray, q: Mapping, stride, dtype
+                            ) -> jnp.ndarray:
+    y = _quant_conv(x, q["conv1"], (1, 1), [(0, 0), (0, 0)], dtype)
+    y = jax.nn.relu(y)
+    y = _quant_conv(y, q["conv2"], stride, [(1, 1), (1, 1)], dtype)
+    y = jax.nn.relu(y)
+    y = _quant_conv(y, q["conv3"], (1, 1), [(0, 0), (0, 0)], dtype)
+    identity = (
+        _quant_conv(x, q["downsample"], stride, [(0, 0), (0, 0)], dtype)
         if "downsample" in q else x
     )
     return jax.nn.relu(y + identity)
@@ -153,8 +168,14 @@ def _trunk_forward(qtree: Mapping, x: jnp.ndarray,
     )
     for stage, n_blocks in enumerate(qtree["stage_sizes"]):
         for block in range(n_blocks):
-            x = _quant_basic_block(x, trunk[f"layer{stage + 1}_{block}"],
-                                   dtype)
+            # same static rule as models/resnet.py: stages after the first
+            # open with a stride-2 block (resnet50's layer1.0 has a
+            # projection downsample at stride 1, so downsample presence
+            # cannot stand in for the stride)
+            stride = (2, 2) if (stage > 0 and block == 0) else (1, 1)
+            q = trunk[f"layer{stage + 1}_{block}"]
+            run = _quant_bottleneck_block if "conv3" in q else _quant_basic_block
+            x = run(x, q, stride, dtype)
     return jnp.mean(x, axis=(1, 2))
 
 

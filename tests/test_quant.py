@@ -182,3 +182,28 @@ class TestShardedEvaluate:
         np.testing.assert_allclose(
             sharded["pred_poses"], single["pred_poses"], atol=2e-4)
         assert abs(sharded["median_t"] - single["median_t"]) < 1e-3
+
+
+class TestBottleneckQuant:
+    """int8 PTQ generalizes to resnet50-family Bottleneck trunks."""
+
+    def test_bottleneck_matches_float_model(self):
+        from geomapnet_tpu.models import resnet50
+
+        model = PoseNet(feature_extractor=resnet50(dtype=jnp.float32),
+                        feat_dim=32, droprate=0.0)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 48, 3))
+        v = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        variables = {"params": v["params"], "batch_stats": v["batch_stats"]}
+        ref = np.asarray(model.apply(variables, x, train=False))
+
+        q = quantize_posenet_variables(variables)
+        trunk = q["trunk"]
+        # layer1 opens with a stride-1 projection downsample (64 -> 256)
+        assert trunk["layer1_0"]["downsample"]["qkernel"].shape == (1, 1, 64, 256)
+        assert trunk["layer1_0"]["conv3"]["qkernel"].shape == (1, 1, 64, 256)
+
+        got = np.asarray(posenet_apply_int8(q, x, dtype=jnp.float32))
+        assert got.shape == ref.shape == (2, 6)
+        scale = np.abs(ref).mean()
+        assert np.abs(got - ref).max() / scale < 0.08

@@ -66,6 +66,8 @@ def main(argv=None):
     parser.add_argument("--weights", required=True)
     parser.add_argument("--model", required=True,
                         choices=("posenet", "mapnet", "mapnet++"))
+    parser.add_argument("--trunk", default="resnet34",
+                        choices=("resnet18", "resnet34", "resnet50"))
     parser.add_argument("--config_file", required=True)
     parser.add_argument("--val", action="store_true")
     parser.add_argument("--output_dir", required=True)
@@ -77,7 +79,7 @@ def main(argv=None):
 
     config = parse_ini(args.config_file)
     model_kind = "mapnet" if args.model.startswith("mapnet") else "posenet"
-    model, _ = build_model(model_kind, config)
+    model, _ = build_model(model_kind, config, trunk=args.trunk)
     criterion, _ = build_criteria(model_kind, config, False, False)
 
     data_path = (

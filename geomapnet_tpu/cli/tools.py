@@ -355,7 +355,8 @@ def export_model(args) -> None:
 
     config = parse_ini(args.config_file)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    model, is_tuple = build_model(args.model, config, dtype=dtype)
+    model, is_tuple = build_model(args.model, config, dtype=dtype,
+                                  trunk=getattr(args, "trunk", "resnet34"))
     criterion, _ = build_criteria(
         "mapnet" if args.model == "mapnet++" else args.model, config,
         False, False,
@@ -439,6 +440,8 @@ def main(argv=None):
     p = sub.add_parser("export_model", parents=[common])
     p.add_argument("--model", required=True,
                    choices=("posenet", "mapnet", "mapnet++"))
+    p.add_argument("--trunk", default="resnet34",
+                   choices=("resnet18", "resnet34", "resnet50"))
     p.add_argument("--config_file", required=True)
     p.add_argument("--weights", required=True)
     p.add_argument("--output", required=True)

@@ -490,10 +490,27 @@ bool decode_png_gray16(const uint8_t* bytes, size_t len,
   return true;
 }
 
+// libjpeg's default error_exit() calls exit(): a single corrupt file would
+// take down the whole training process. Redirect fatal errors to longjmp.
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jmp;
+};
+
+void jpeg_error_longjmp(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jmp, 1);
+}
+
 bool decode_jpeg(const uint8_t* bytes, size_t len, Image* out) {
   jpeg_decompress_struct cinfo;
-  jpeg_error_mgr jerr;
-  cinfo.err = jpeg_std_error(&jerr);
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_error_longjmp;
+  jerr.mgr.output_message = [](j_common_ptr) {};  // no stderr spam
+  if (setjmp(jerr.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   jpeg_create_decompress(&cinfo);
   jpeg_mem_src(&cinfo, const_cast<unsigned char*>(bytes),
                static_cast<unsigned long>(len));

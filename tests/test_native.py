@@ -227,3 +227,32 @@ def test_pread_fallback_decodes_identically(tmp_path, rng):
                          capture_output=True, text=True)
     assert out.returncode == 0, out.stderr
     assert "pread ok" in out.stdout
+
+
+def test_corrupt_inputs_do_not_crash(tmp_path, rng):
+    """Garbage bytes through both decoders: flagged failed, process lives.
+
+    (libjpeg's default error handler calls exit(); a corrupt frame must not
+    take down training — reference equivalent: load_image returns None,
+    /root/reference/dataset_loaders/utils.py:8-18.)
+    """
+    from geomapnet_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    paths = []
+    # truly random bytes, a truncated PNG, a mislabeled jpg, and one good file
+    (tmp_path / "noise.png").write_bytes(rng.bytes(4096))
+    paths.append(str(tmp_path / "noise.png"))
+    img = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "good.png")
+    (tmp_path / "trunc.png").write_bytes(
+        (tmp_path / "good.png").read_bytes()[:40])
+    paths.append(str(tmp_path / "trunc.png"))
+    (tmp_path / "fake.jpg").write_bytes(rng.bytes(512))
+    paths.append(str(tmp_path / "fake.jpg"))
+    paths.append(str(tmp_path / "good.png"))
+
+    batch, ok = native.decode_batch(paths, 16, 16, n_threads=2)
+    assert ok.tolist() == [False, False, False, True]
+    np.testing.assert_array_equal(batch[3], img)

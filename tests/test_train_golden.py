@@ -147,3 +147,123 @@ def test_training_trajectory_matches_reference():
     eval_step = jax.jit(make_eval_step(model))
     _, out = eval_step(state, x)
     npt.assert_allclose(np.asarray(out), EVAL_OUT_AFTER, atol=5e-3)
+
+
+def _merged_mapnet_state(criterion, tx, filter_nans=False):
+    model = MapNet(posenet=PoseNet(
+        feature_extractor=resnet34(dtype=jnp.float32),
+        feat_dim=FEAT_DIM, droprate=0.0, filter_nans=filter_nans))
+    x1 = jnp.zeros((1, 2, 48, 64, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x1)
+    imported = convert_state_dict(
+        synthetic_posenet_state_dict(feat_dim=FEAT_DIM, torch_tensors=False),
+        strict=True,
+    )
+    merged = merge_variables(
+        {
+            "params": variables["params"]["posenet"],
+            "batch_stats": variables["batch_stats"]["posenet"],
+        },
+        imported,
+    )
+    params = {
+        "model": {"posenet": merged["params"]},
+        "criterion": criterion.init_params(),
+    }
+    return model, TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats={"posenet": merged["batch_stats"]},
+        opt_state=tx.init(params),
+    )
+
+
+def _run_ours(model, criterion, tx, state, x, targ, n_steps):
+    step = jax.jit(make_train_step(model, criterion, tx))
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(n_steps):
+        state, loss = step(state, x, targ, rng)
+        losses.append(float(loss))
+    return losses, state
+
+
+def test_mapnetpp_online_trajectory_matches_reference():
+    """MapNet++ semi-supervised loss: calc_vos-on-predictions gradient flow
+    + the NaN-guard identity, against the reference's observed run."""
+    from geomapnet_tpu.losses import MapNetOnlineCriterion
+    from golden_train import (
+        GPS_CRIT_FINAL,
+        GPS_LOSSES,
+        GPS_STEP1_GRADS,
+        ONLINE_CRIT_FINAL,
+        ONLINE_LOSSES,
+        ONLINE_STEP1_GRADS,
+    )
+
+    x = _fixed_input((1, 4, 3, 48, 64), phase=0.3).transpose(0, 1, 3, 4, 2)
+    x = jnp.asarray(x)
+
+    # --- VO mode ---
+    criterion = MapNetOnlineCriterion(sax=0.0, saq=-3.0, srx=0.0, srq=-3.0,
+                                      learn_beta=True, learn_gamma=True)
+    tx = make_optimizer("adam", LR, weight_decay=WEIGHT_DECAY)
+    model, state = _merged_mapnet_state(criterion, tx, filter_nans=True)
+    targ = jnp.asarray((_fixed_input((1, 3, 6), phase=1.1) * 0.1
+                        ).astype(np.float32))
+
+    def loss_fn(p):
+        out, _ = model.apply(
+            {"params": p["model"], "batch_stats": state.batch_stats},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return criterion(p["criterion"], out, targ)
+
+    grads = jax.jit(jax.grad(loss_fn))(state.params)
+    for name in ("sax", "saq", "srx", "srq"):
+        npt.assert_allclose(
+            float(grads["criterion"][name]),
+            float(ONLINE_STEP1_GRADS[f"crit.{name}"]),
+            atol=1e-5, rtol=1e-3, err_msg=name,
+        )
+    got_w = np.asarray(grads["model"]["posenet"]["fc_wpqr"]["kernel"]).T
+    npt.assert_allclose(got_w, ONLINE_STEP1_GRADS["mapnet.fc_wpqr.weight"],
+                        atol=5e-4, rtol=1e-3)
+
+    losses, state = _run_ours(model, criterion, tx, state, x, targ, N_STEPS)
+    # the SE(3) log map on near-identity relative predictions is
+    # ill-conditioned, so f32 noise amplifies faster here than in the
+    # MapNetCriterion trajectory: early steps tight, tail enveloped at 1%
+    npt.assert_allclose(losses[0], ONLINE_LOSSES[0], atol=2e-4)
+    npt.assert_allclose(losses[:2], ONLINE_LOSSES[:2], atol=5e-4)
+    npt.assert_allclose(losses, ONLINE_LOSSES, rtol=1e-2, atol=1e-2)
+    for name, want in ONLINE_CRIT_FINAL.items():
+        npt.assert_allclose(float(state.params["criterion"][name]), want,
+                            atol=2e-4, err_msg=name)
+
+    # --- gps_mode ---
+    criterion = MapNetOnlineCriterion(sax=0.0, saq=-3.0, srx=0.0, srq=-3.0,
+                                      learn_beta=True, learn_gamma=True,
+                                      gps_mode=True)
+    tx = make_optimizer("adam", LR, weight_decay=WEIGHT_DECAY)
+    model, state = _merged_mapnet_state(criterion, tx, filter_nans=True)
+    targ = jnp.asarray((_fixed_input((1, 4, 6), phase=1.7) * 0.1
+                        ).astype(np.float32))
+    losses, state = _run_ours(model, criterion, tx, state, x, targ, N_STEPS)
+    npt.assert_allclose(losses[0], GPS_LOSSES[0], atol=2e-4)
+    npt.assert_allclose(losses[:2], GPS_LOSSES[:2], atol=5e-4)
+    npt.assert_allclose(losses, GPS_LOSSES, rtol=1e-2, atol=1e-2)
+    assert "crit.srq" not in GPS_STEP1_GRADS  # no rotation VO term
+    for name, want in GPS_CRIT_FINAL.items():
+        if name == "srq":
+            continue  # compared below
+        npt.assert_allclose(float(state.params["criterion"][name]), want,
+                            atol=5e-4, err_msg=name)
+    # Documented divergence: srq is learnable but UNUSED in gps_mode. torch
+    # skips params whose grad is None (srq stays exactly at init, -3.0);
+    # our optimizer still weight-decays every learnable criterion param, so
+    # srq creeps by ~lr per step through Adam's sign normalization. The
+    # weight is dead in this mode, so the drift is behaviorally inert.
+    got_srq = float(state.params["criterion"]["srq"])
+    assert abs(GPS_CRIT_FINAL["srq"] - (-3.0)) < 1e-12  # torch: untouched
+    assert abs(got_srq - (-3.0)) < N_STEPS * LR * 1.5  # ours: bounded creep

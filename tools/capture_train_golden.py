@@ -51,6 +51,66 @@ WEIGHT_DECAY = 5e-4
 OUT = REPO / "tests/golden_train.py"
 
 
+def _run_trajectory(model, crit, x, targ, n_steps=N_STEPS,
+                    grad_keys=()):
+    """zero_grad/forward/loss/backward/step for n_steps; returns
+    (losses, step1 grads for crit params + grad_keys, final crit params)."""
+    params = list(model.parameters()) + list(crit.parameters())
+    opt = torch.optim.Adam(params, lr=LR, weight_decay=WEIGHT_DECAY)
+    named = dict(model.named_parameters())
+    losses, grads1 = [], {}
+    for step_i in range(n_steps):
+        opt.zero_grad()
+        loss = crit(model(x), targ)
+        loss.backward()
+        if step_i == 0:
+            for name, p in crit.named_parameters():
+                if p.grad is not None:  # gps_mode: srq is unused
+                    grads1[f"crit.{name}"] = np.asarray(p.grad.detach())
+            for key in grad_keys:
+                grads1[key] = np.asarray(named[key].grad.detach())
+        opt.step()
+        losses.append(float(loss.detach()))
+    final = {n: float(p.detach()) for n, p in crit.named_parameters()}
+    return losses, grads1, final
+
+
+def capture_online(ref, CR):
+    """MapNet++ trajectories: MapNetOnlineCriterion, VO and gps modes.
+
+    The reference enables the NaN-grad filter hook for mapnet++
+    (/root/reference/scripts/train.py:77-78); data here is finite so the
+    hook is an identity, like our nan_grad_guard."""
+    def fresh_model():
+        pn = ref.PoseNet(feature_extractor=ResNet34(), droprate=0.0,
+                         pretrained=False, feat_dim=FEAT_DIM,
+                         filter_nans=True)
+        pn.load_state_dict(synthetic_posenet_state_dict(feat_dim=FEAT_DIM),
+                           strict=True)
+        m = ref.MapNet(mapnet=pn)
+        m.train()
+        return m
+
+    # batch layout: T labeled frames + T unlabeled (composite.py:117-126);
+    # targets [T abs || T-1 VOs], or [T abs || T gps] in gps_mode
+    x = torch.from_numpy(fixed_input((1, 4, 3, 48, 64), phase=0.3))
+    targ_vo = torch.from_numpy(
+        (fixed_input((1, 3, 6), phase=1.1) * 0.1).astype(np.float32))
+    targ_gps = torch.from_numpy(
+        (fixed_input((1, 4, 6), phase=1.7) * 0.1).astype(np.float32))
+
+    crit = CR.MapNetOnlineCriterion(sax=0.0, saq=-3.0, srx=0.0, srq=-3.0,
+                                    learn_beta=True, learn_gamma=True)
+    vo = _run_trajectory(fresh_model(), crit, x, targ_vo,
+                         grad_keys=("mapnet.fc_wpqr.weight",))
+
+    crit_gps = CR.MapNetOnlineCriterion(sax=0.0, saq=-3.0, srx=0.0,
+                                        srq=-3.0, learn_beta=True,
+                                        learn_gamma=True, gps_mode=True)
+    gps = _run_trajectory(fresh_model(), crit_gps, x, targ_gps)
+    return vo, gps
+
+
 def main() -> None:
     from common import criterion as CR
 
@@ -107,6 +167,10 @@ def main() -> None:
     with torch.no_grad():
         out_after = model(x).numpy()
 
+    (on_losses, on_grads1, on_final), (gps_losses, gps_grads1, gps_final) = (
+        capture_online(ref, CR)
+    )
+
     def fmt(a):
         body = np.array2string(np.asarray(a, np.float64), separator=", ",
                                precision=17, threshold=10**6,
@@ -130,7 +194,23 @@ def main() -> None:
             for k, v in grads1.items()
         )
         + "}\n\n"
-        "EVAL_OUT_AFTER = np.array(\n" + fmt(out_after) + "\n)\n"
+        "EVAL_OUT_AFTER = np.array(\n" + fmt(out_after) + "\n)\n\n"
+        "ONLINE_LOSSES = np.array(\n" + fmt(on_losses) + "\n)\n\n"
+        "ONLINE_STEP1_GRADS = {\n"
+        + "".join(
+            f"    {k!r}: np.array(\n{fmt(v)}\n    ),\n"
+            for k, v in on_grads1.items()
+        )
+        + "}\n\n"
+        "ONLINE_CRIT_FINAL = " + repr(on_final) + "\n\n"
+        "GPS_LOSSES = np.array(\n" + fmt(gps_losses) + "\n)\n\n"
+        "GPS_STEP1_GRADS = {\n"
+        + "".join(
+            f"    {k!r}: np.array(\n{fmt(v)}\n    ),\n"
+            for k, v in gps_grads1.items()
+        )
+        + "}\n\n"
+        "GPS_CRIT_FINAL = " + repr(gps_final) + "\n"
     )
     print(f"wrote {OUT}: losses {losses}")
     print(f"criterion final: {crit_final}")

@@ -267,3 +267,55 @@ def test_mapnetpp_online_trajectory_matches_reference():
     got_srq = float(state.params["criterion"]["srq"])
     assert abs(GPS_CRIT_FINAL["srq"] - (-3.0)) < 1e-12  # torch: untouched
     assert abs(got_srq - (-3.0)) < N_STEPS * LR * 1.5  # ours: bounded creep
+
+
+def test_sgd_momentum_trajectory_matches_reference():
+    """torch SGD semantics (momentum buffer init = raw first grad, coupled
+    weight decay before momentum) against the reference's observed run."""
+    from golden_train import SGD_CRIT_FINAL, SGD_LOSSES, SGD_LR, SGD_MOMENTUM
+
+    criterion = MapNetCriterion(sax=0.0, saq=-3.0, srx=0.0, srq=-3.0,
+                                learn_beta=True, learn_gamma=True)
+    tx = make_optimizer("sgd", SGD_LR, weight_decay=WEIGHT_DECAY,
+                        momentum=SGD_MOMENTUM)
+    model = MapNet(posenet=PoseNet(
+        feature_extractor=resnet34(dtype=jnp.float32),
+        feat_dim=FEAT_DIM, droprate=0.0))
+    x1 = jnp.zeros((1, 3, 64, 96, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x1)
+    imported = convert_state_dict(
+        synthetic_posenet_state_dict(feat_dim=FEAT_DIM, torch_tensors=False),
+        strict=True,
+    )
+    merged = merge_variables(
+        {
+            "params": variables["params"]["posenet"],
+            "batch_stats": variables["batch_stats"]["posenet"],
+        },
+        imported,
+    )
+    params = {
+        "model": {"posenet": merged["params"]},
+        "criterion": criterion.init_params(),
+    }
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats={"posenet": merged["batch_stats"]},
+        opt_state=tx.init(params),
+    )
+
+    x = _fixed_input((2, 3, 3, 64, 96), phase=0.9).transpose(0, 1, 3, 4, 2)
+    targ = (_fixed_input((2, 3, 6), phase=2.5) * 0.1).astype(np.float32)
+    losses, state = _run_ours(model, criterion, tx, state,
+                              jnp.asarray(x), jnp.asarray(targ), N_STEPS)
+    # SGD applies raw gradients (no Adam normalization), so the ~0.4%
+    # norm-level f32 reduction noise between torch-CPU and XLA conv
+    # backward enters the params directly and compounds: step 1 is tight
+    # (forward parity), the tail is an envelope.
+    npt.assert_allclose(losses[0], SGD_LOSSES[0], atol=2e-4)
+    npt.assert_allclose(losses[:2], SGD_LOSSES[:2], atol=3e-3)
+    npt.assert_allclose(losses, SGD_LOSSES, rtol=5e-2, atol=5e-2)
+    for name, want in SGD_CRIT_FINAL.items():
+        npt.assert_allclose(float(state.params["criterion"][name]), want,
+                            atol=2e-3, err_msg=name)

@@ -52,11 +52,14 @@ OUT = REPO / "tests/golden_train.py"
 
 
 def _run_trajectory(model, crit, x, targ, n_steps=N_STEPS,
-                    grad_keys=()):
+                    grad_keys=(), opt_factory=None):
     """zero_grad/forward/loss/backward/step for n_steps; returns
     (losses, step1 grads for crit params + grad_keys, final crit params)."""
     params = list(model.parameters()) + list(crit.parameters())
-    opt = torch.optim.Adam(params, lr=LR, weight_decay=WEIGHT_DECAY)
+    if opt_factory is None:
+        opt_factory = lambda p: torch.optim.Adam(  # noqa: E731
+            p, lr=LR, weight_decay=WEIGHT_DECAY)
+    opt = opt_factory(params)
     named = dict(model.named_parameters())
     losses, grads1 = [], {}
     for step_i in range(n_steps):
@@ -171,6 +174,23 @@ def main() -> None:
         capture_online(ref, CR)
     )
 
+    # SGD + momentum + coupled weight decay (the reference Optimizer's sgd
+    # path, /root/reference/common/optimizer.py:12-27): pins torch momentum
+    # buffer init (first step = raw grad) and decay-before-momentum coupling
+    pn2 = ref.PoseNet(feature_extractor=ResNet34(), droprate=0.0,
+                      pretrained=False, feat_dim=FEAT_DIM)
+    pn2.load_state_dict(synthetic_posenet_state_dict(feat_dim=FEAT_DIM),
+                        strict=True)
+    model2 = ref.MapNet(mapnet=pn2)
+    model2.train()
+    crit2 = CR.MapNetCriterion(sax=0.0, saq=-3.0, srx=0.0, srq=-3.0,
+                               learn_beta=True, learn_gamma=True)
+    sgd_losses, _, sgd_final = _run_trajectory(
+        model2, crit2, x, targ,
+        opt_factory=lambda p: torch.optim.SGD(
+            p, lr=1e-3, momentum=0.9, weight_decay=WEIGHT_DECAY),
+    )
+
     def fmt(a):
         body = np.array2string(np.asarray(a, np.float64), separator=", ",
                                precision=17, threshold=10**6,
@@ -210,7 +230,10 @@ def main() -> None:
             for k, v in gps_grads1.items()
         )
         + "}\n\n"
-        "GPS_CRIT_FINAL = " + repr(gps_final) + "\n"
+        "GPS_CRIT_FINAL = " + repr(gps_final) + "\n\n"
+        "SGD_LR, SGD_MOMENTUM = 1e-3, 0.9\n"
+        "SGD_LOSSES = np.array(\n" + fmt(sgd_losses) + "\n)\n\n"
+        "SGD_CRIT_FINAL = " + repr(sgd_final) + "\n"
     )
     print(f"wrote {OUT}: losses {losses}")
     print(f"criterion final: {crit_final}")

@@ -22,6 +22,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -30,6 +31,60 @@ __all__ = ["ResNet", "resnet18", "resnet34", "resnet50"]
 # matches torch.nn.init.kaiming_normal_ defaults (fan_in, gain sqrt(2)) used
 # by the reference's re-init path (/root/reference/models/posenet.py:59-63)
 kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch's running-statistics semantics.
+
+    Identical to ``nn.BatchNorm`` in normalization (biased batch variance,
+    f32 statistics) but updates the running variance with the UNBIASED batch
+    variance (``n/(n-1)``), as torch does — flax's own BatchNorm stores the
+    biased one. Keeps flax's param/variable names (``scale``/``bias``,
+    ``batch_stats: mean/var``) so checkpoints, importers and the quantizer
+    are layout-compatible. Pinned against the reference's observed training
+    run in tests/test_train_golden.py.
+    """
+
+    use_running_average: bool = True
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean", nn.initializers.zeros,
+                                None, (features,), jnp.float32)
+        ra_var = self.variable("batch_stats", "var", nn.initializers.ones,
+                               None, (features,), jnp.float32)
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf - mean), axes)  # biased: normalizes
+            if not self.is_initializing():
+                n = x.size // features
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (
+                    self.momentum * ra_mean.value
+                    + (1.0 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value
+                    + (1.0 - self.momentum) * unbiased
+                )
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(self.dtype)
 
 
 class BasicBlock(nn.Module):
@@ -49,7 +104,7 @@ class BasicBlock(nn.Module):
             kernel_init=kaiming_normal,
         )
         norm = partial(
-            nn.BatchNorm,
+            BatchNorm,
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
@@ -93,7 +148,7 @@ class Bottleneck(nn.Module):
             kernel_init=kaiming_normal,
         )
         norm = partial(
-            nn.BatchNorm,
+            BatchNorm,
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
@@ -142,7 +197,7 @@ class ResNet(nn.Module):
             use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=kaiming_normal, name="conv1",
         )(x)
-        x = nn.BatchNorm(
+        x = BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32, param_dtype=jnp.float32, name="bn1",
         )(x)

@@ -140,13 +140,12 @@ def test_training_trajectory_matches_reference():
         got = float(state.params["criterion"][name])
         npt.assert_allclose(got, want, atol=5e-5, err_msg=name)
 
-    # eval forward AFTER training: also exercises running-stat updates.
-    # torch updates running_var with the UNBIASED batch variance while flax
-    # uses the biased one — an O(1/n) difference per BN layer, so this bound
-    # is looser than the trajectory's.
+    # eval forward AFTER training: exercises the running-stat updates.
+    # models.resnet.BatchNorm reproduces torch's unbiased running-var
+    # update, so this bound only carries the trajectory's f32 drift.
     eval_step = jax.jit(make_eval_step(model))
     _, out = eval_step(state, x)
-    npt.assert_allclose(np.asarray(out), EVAL_OUT_AFTER, atol=5e-3)
+    npt.assert_allclose(np.asarray(out), EVAL_OUT_AFTER, atol=2e-3)
 
 
 def _merged_mapnet_state(criterion, tx, filter_nans=False):

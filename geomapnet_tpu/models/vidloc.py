@@ -51,12 +51,17 @@ class VidLoc(nn.Module):
             feats = nn.Dropout(rate=self.droprate,
                                deterministic=not train)(feats)
 
-        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size), name="lstm_fwd")
+        # name the cells explicitly: nn.RNN does not adopt the cell into its
+        # own scope, so the cell name IS the checkpoint key. The layout per
+        # cell matches torch nn.LSTM via convert_lstm_weights
+        # (tests/test_lstm_golden.py pins it against a real torch forward).
+        fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size, name="lstm_fwd"))
         h = fwd(feats)
         if self.bidirectional:
-            bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size),
-                         name="lstm_bwd", reverse=True,
-                         keep_order=True)
+            bwd = nn.RNN(
+                nn.OptimizedLSTMCell(self.hidden_size, name="lstm_bwd"),
+                reverse=True, keep_order=True,
+            )
             h = jnp.concatenate([h, bwd(feats)], axis=-1)
 
         pose = nn.Dense(

@@ -1,4 +1,7 @@
-"""SPMD mesh + sharding helpers (data-parallel first-class)."""
+"""SPMD parallelism: mesh/data-parallel helpers (first-class), tensor
+parallelism, spatial conv partitioning, GPipe pipelining, multi-host.
+
+See docs/PARALLELISM.md for the design and when each regime pays."""
 
 from .mesh import batch_sharding, make_mesh, replicated, shard_batch, shard_step
 from .pipeline import pipeline_apply, stage_shapes

@@ -20,9 +20,12 @@ Design (idiomatic JAX SPMD, no per-device programs):
   on zero/garbage buffers and their results are masked out, trading a little
   bubble compute for a collective-only, compiler-schedulable loop.
 
-This is a forward/inference pipeline (the reference workload's serving
-shape). It is validated for exactness against unpipelined execution in
-``tests/test_pipeline.py``, including a real PoseNet split (trunk | head).
+The pipeline is differentiable: pass the weights via ``stage_params`` and
+``jax.grad`` flows through the schedule (``ppermute`` transposes to the
+inverted permutation), with gradient equality against sequential execution
+pinned in the tests. Exactness of the forward is validated against
+unpipelined execution in ``tests/test_pipeline.py``, including a real
+PoseNet split (trunk | head).
 """
 
 from __future__ import annotations
@@ -59,13 +62,23 @@ def pipeline_apply(
     x: jnp.ndarray,
     n_microbatches: int,
     axis: str = "stage",
+    stage_params: Sequence | None = None,
 ) -> jnp.ndarray:
     """Apply ``stage_fns[0] ∘ ... ∘ stage_fns[-1]`` pipelined over ``axis``.
 
     :param stage_fns: one jax-traceable function per device of ``axis``;
-        each maps a single-array activation to the next (close over params)
+        each maps a single-array activation to the next. Without
+        ``stage_params`` it may close over its weights (inference); to
+        DIFFERENTIATE through the pipeline pass the weights via
+        ``stage_params`` and write stages as ``fn(params_i, a)`` — values
+        captured by closure become shard_map constants whose cotangents are
+        not accumulated correctly across devices, while explicit operands
+        are (grad-equality vs sequential execution is pinned in
+        tests/test_pipeline.py::TestPipelineTraining).
     :param x: full batch for stage 0; leading dim must divide into
         ``n_microbatches``
+    :param stage_params: optional per-stage parameter pytrees, passed to
+        ``stage_fns[i]`` as its first argument
     :returns: the final stage's output for the full batch, exactly equal
         (modulo f32 buffer transport) to sequential composition
     """
@@ -83,8 +96,20 @@ def pipeline_apply(
     micro = x.shape[0] // n_micro
     xm = x.reshape((n_micro, micro) + x.shape[1:])
 
+    if stage_params is not None and len(stage_params) != len(stage_fns):
+        raise ValueError(
+            f"{len(stage_params)} stage_params for {len(stage_fns)} stages"
+        )
+    bound = (
+        stage_fns
+        if stage_params is None
+        else [
+            (lambda a, f=f, p=p: f(p, a))
+            for f, p in zip(stage_fns, stage_params)
+        ]
+    )
     shapes = stage_shapes(
-        stage_fns, jax.ShapeDtypeStruct((micro,) + x.shape[1:], x.dtype)
+        bound, jax.ShapeDtypeStruct((micro,) + x.shape[1:], x.dtype)
     )
     out_struct = shapes[-1][1]
     buf_elems = max(
@@ -99,18 +124,33 @@ def pipeline_apply(
         n = int(np.prod(struct.shape))
         return buf[:n].reshape(struct.shape).astype(struct.dtype)
 
-    def make_branch(i):
-        in_struct = shapes[i][0]
-
-        def run(buf):
-            return flatten(stage_fns[i](unflatten(buf, in_struct)))
-
-        return run
-
-    branches = [make_branch(i) for i in range(n_stages)]
     last = n_stages - 1
 
-    def per_device(xm_rep):
+    def per_device(xm_rep, *ws):
+        # Cast every replicated operand to device-varying HERE, outside all
+        # control flow. An unvarying value first used inside a lax.switch
+        # branch transposes to a psum INSIDE the conditional — a collective
+        # only some devices reach (deadlock / garbage gradients). Casting
+        # up front puts that psum at this point instead, where every device
+        # executes it. (tests/test_pipeline.py::TestPipelineTraining pins
+        # gradient equality.)
+        pcast = getattr(jax.lax, "pcast", None)
+        if pcast is not None:
+            xm_rep, ws = jax.tree.map(
+                lambda v: pcast(v, (axis,), to="varying"), (xm_rep, ws)
+            )
+
+        def make_branch(i):
+            in_struct = shapes[i][0]
+
+            def run(buf):
+                a = unflatten(buf, in_struct)
+                y = stage_fns[i](ws[i], a) if ws else stage_fns[i](a)
+                return flatten(y)
+
+            return run
+
+        branches = [make_branch(i) for i in range(n_stages)]
         s = jax.lax.axis_index(axis)
         # initial carries are constants; mark them device-varying so the
         # scan carry type matches the per-stage values they become (a no-op
@@ -156,5 +196,9 @@ def pipeline_apply(
         # their untouched zero buffers
         return jax.lax.psum(outputs, axis)
 
-    out = shard_map(per_device, mesh=mesh, in_specs=P(), out_specs=P())(xm)
+    extra = tuple(stage_params) if stage_params is not None else ()
+    out = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(),) * (1 + len(extra)), out_specs=P(),
+    )(xm, *extra)
     return out.reshape((n_micro * micro,) + out_struct.shape[1:])

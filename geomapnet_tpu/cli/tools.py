@@ -297,6 +297,14 @@ def time_imload(args) -> None:
     from ..data.robotcar_sdk import demosaic_gbrg
     from ..ops.image import make_device_pipeline
 
+    from .. import native
+
+    if native.available():
+        print(f"native decoder: built, batch-read backend = "
+              f"{native.io_backend()}")
+    else:
+        print("native decoder: not built (PIL fallback); build with "
+              "`python -m geomapnet_tpu.native.build`")
     path = args.image
     n = args.number
 

@@ -82,6 +82,20 @@ def _real_pose_stats(stats_file: Path, write_from: np.ndarray | None):
     if write_from is not None:
         mean_t = np.mean(write_from[:, [3, 7, 11]], axis=0)
         std_t = np.std(write_from[:, [3, 7, 11]], axis=0)
+        # a trajectory with zero variance along an axis (possible in tiny /
+        # synthetic scenes) would make process_poses divide by zero and NaN
+        # every target downstream — clamp to 1 (= "no normalization" for
+        # that axis) with a warning instead
+        degenerate = std_t < 1e-8
+        if degenerate.any():
+            import warnings
+
+            warnings.warn(
+                f"pose std is ~0 along axes {np.nonzero(degenerate)[0]} "
+                f"(constant trajectory coordinate); clamping to 1 to avoid "
+                f"NaN normalization", stacklevel=2,
+            )
+            std_t = np.where(degenerate, 1.0, std_t)
         stats_file.parent.mkdir(parents=True, exist_ok=True)
         np.savetxt(stats_file, np.vstack((mean_t, std_t)), fmt="%8.7f")
         return mean_t, std_t

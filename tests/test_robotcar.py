@@ -295,3 +295,19 @@ class TestRawBayerPath:
         out = np.asarray(pipe(jnp.asarray(imgs)))
         assert out.shape == (4, 8, 11, 3)
         assert np.isfinite(out).all()
+
+
+def test_degenerate_axis_stats_clamped(tmp_path):
+    """A constant trajectory coordinate must not NaN every target: the
+    stats writer clamps ~zero std to 1 with a warning (observed as
+    loss=nan end to end before the guard)."""
+    from geomapnet_tpu.data.robotcar import _real_pose_stats
+
+    poses = np.zeros((5, 12))
+    poses[:, 3] = np.arange(5)     # northing varies
+    poses[:, 7] = 2.5              # easting constant
+    poses[:, 11] = -np.arange(5)   # down varies
+    with pytest.warns(UserWarning, match="clamping"):
+        mean_t, std_t = _real_pose_stats(tmp_path / "pose_stats.txt", poses)
+    assert std_t[1] == 1.0 and std_t[0] > 0 and std_t[2] > 0
+    assert np.isfinite(np.loadtxt(tmp_path / "pose_stats.txt")).all()

@@ -256,3 +256,24 @@ def test_corrupt_inputs_do_not_crash(tmp_path, rng):
     batch, ok = native.decode_batch(paths, 16, 16, n_threads=2)
     assert ok.tolist() == [False, False, False, True]
     np.testing.assert_array_equal(batch[3], img)
+
+
+def test_large_batch_exercises_ring_refill(tmp_path, rng):
+    """300 files >> the 64-deep io_uring: covers ring refill, completion
+    interleaving and slot reuse; order and content must be exact."""
+    from geomapnet_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    n = 300
+    imgs, paths = [], []
+    for i in range(n):
+        a = np.full((4, 6, 3), i % 251, np.uint8)
+        p = tmp_path / f"f{i:04d}.png"
+        Image.fromarray(a).save(p)
+        imgs.append(a)
+        paths.append(str(p))
+    batch, ok = native.decode_batch(paths, 4, 6, n_threads=3)
+    assert ok.all()
+    for i in range(n):
+        np.testing.assert_array_equal(batch[i], imgs[i])

@@ -142,3 +142,48 @@ class TestPipelineTraining:
         for a, b in zip(g_pp, g_seq):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6)
+
+
+class TestPipelineEdges:
+    def test_bf16_and_uint8_transport_roundtrip(self):
+        """Stage boundaries travel in an f32 buffer: uint8 transport is
+        bit-exact; bf16 agrees within bf16 resolution (XLA may hold bf16
+        intermediates at f32 precision inside the compiled pipeline, while
+        the eager reference rounds at each op — a compiler semantic, not a
+        transport loss)."""
+        mesh = make_mesh(jax.devices()[:2], ("stage",), (2,))
+        x = jnp.asarray(
+            np.random.RandomState(0).randint(0, 250, (4, 8)), jnp.uint8
+        )
+
+        def stage_u8(a):  # uint8 -> uint8 (exactness probe)
+            return a + 1
+
+        def stage_f32(a):
+            return a.astype(jnp.float32) / 255.0
+
+        got = pipeline_apply([stage_u8, stage_f32], mesh, x, n_microbatches=2)
+        # atol ~ f32 ULP: XLA may compile /255 as *(1/255) in one program
+        # and not the other; a transport bug would be off by >= 1/255
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(stage_f32(stage_u8(x))), atol=1e-6
+        )
+
+        def stage_bf16(a):  # uint8 -> bf16
+            return (a.astype(jnp.bfloat16) / 255.0) * 2 - 1
+
+        def stage_sq(a):
+            return (a * a).astype(jnp.float32)
+
+        got = pipeline_apply([stage_bf16, stage_sq], mesh, x,
+                             n_microbatches=2)
+        ref = stage_sq(stage_bf16(x))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1 / 64)
+
+    def test_stage_params_length_mismatch(self):
+        mesh = make_mesh(jax.devices()[:2], ("stage",), (2,))
+        fns = [lambda w, a: a + w] * 2
+        with pytest.raises(ValueError, match="stage_params"):
+            pipeline_apply(fns, mesh, jnp.zeros((2, 3)), 1,
+                           stage_params=[jnp.zeros(())])

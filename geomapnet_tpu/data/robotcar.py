@@ -86,20 +86,34 @@ def _real_pose_stats(stats_file: Path, write_from: np.ndarray | None):
         # synthetic scenes) would make process_poses divide by zero and NaN
         # every target downstream — clamp to 1 (= "no normalization" for
         # that axis) with a warning instead
-        degenerate = std_t < 1e-8
-        if degenerate.any():
-            import warnings
-
-            warnings.warn(
-                f"pose std is ~0 along axes {np.nonzero(degenerate)[0]} "
-                f"(constant trajectory coordinate); clamping to 1 to avoid "
-                f"NaN normalization", stacklevel=2,
-            )
-            std_t = np.where(degenerate, 1.0, std_t)
         stats_file.parent.mkdir(parents=True, exist_ok=True)
+        # threshold covers the file format too: %8.7f quantizes anything
+        # below 5e-8 to a literal 0.0 on disk
+        std_t = _clamp_degenerate_std(std_t, threshold=1e-6)
         np.savetxt(stats_file, np.vstack((mean_t, std_t)), fmt="%8.7f")
         return mean_t, std_t
-    return np.loadtxt(stats_file)
+    stats = np.loadtxt(stats_file)
+    # also guard the READ path: stats written by the reference (or by this
+    # code before the guard) may carry a zero
+    return stats[0], _clamp_degenerate_std(stats[1], threshold=1e-8)
+
+
+def _clamp_degenerate_std(std_t: np.ndarray, threshold: float) -> np.ndarray:
+    """A ~zero std along an axis (constant trajectory coordinate — possible
+    in tiny/synthetic scenes) would make ``process_poses`` divide by zero
+    and NaN every target downstream; clamp to 1 (= no normalization for
+    that axis) with a warning."""
+    degenerate = std_t < threshold
+    if degenerate.any():
+        import warnings
+
+        warnings.warn(
+            f"pose std is ~0 along axes {np.nonzero(degenerate)[0]} "
+            f"(constant trajectory coordinate); clamping to 1 to avoid "
+            f"NaN normalization", stacklevel=3,
+        )
+        std_t = np.where(degenerate, 1.0, std_t)
+    return std_t
 
 
 class RobotCar:

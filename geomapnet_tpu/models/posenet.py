@@ -27,7 +27,24 @@ from flax import linen as nn
 
 from .resnet import kaiming_normal, resnet34
 
-__all__ = ["PoseNet", "MapNet", "nan_grad_guard"]
+__all__ = ["PoseNet", "MapNet", "nan_grad_guard", "posenet_head_apply"]
+
+
+def posenet_head_apply(params: dict, feats: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic-eval PoseNet head as a pure function of its params.
+
+    ``fc_feat -> relu -> fc_xyz / fc_wpqr -> concat`` (dropout is identity
+    in deterministic eval) — exactly the head section of
+    :class:`PoseNet.__call__`, for callers that split the model at the
+    trunk|head boundary (pipeline-parallel stages in
+    ``tests/test_pipeline.py`` and ``__graft_entry__.dryrun_multichip``).
+    Equality with the full module is pinned by the pipeline tests.
+    """
+    h = feats @ params["fc_feat"]["kernel"] + params["fc_feat"]["bias"]
+    h = jax.nn.relu(h)
+    xyz = h @ params["fc_xyz"]["kernel"] + params["fc_xyz"]["bias"]
+    wpqr = h @ params["fc_wpqr"]["kernel"] + params["fc_wpqr"]["bias"]
+    return jnp.concatenate([xyz, wpqr], axis=-1).astype(jnp.float32)
 
 
 @jax.custom_vjp

@@ -214,7 +214,10 @@ bool uring_available() {
 #ifdef GM_HAVE_URING
     if (getenv("GM_DISABLE_URING")) return false;
     Uring probe;
-    return probe.init(4);
+    // probe with the SAME depth read_files uses: a 4-entry ring can
+    // succeed where the 64-entry ring's larger mmaps fail (memlock
+    // limits), which would misreport the backend
+    return probe.init(64);
 #else
     return false;
 #endif
@@ -294,11 +297,28 @@ void read_files(const char** paths, int n, std::vector<FileBuf>& bufs,
             if (st[i].done >= st[i].size) {
               --inflight;
               finish(i, true);
-            } else {
-              // short read: continue from the current offset
-              ring.prep_read(st[i].fd, bufs[i].bytes.data() + st[i].done,
-                             static_cast<unsigned>(st[i].size - st[i].done),
-                             st[i].done, data);
+            } else if (!ring.prep_read(
+                           st[i].fd, bufs[i].bytes.data() + st[i].done,
+                           static_cast<unsigned>(st[i].size - st[i].done),
+                           st[i].done, data)) {
+              // resubmit found the SQ ring full (possible after a partial
+              // io_uring_enter): silently dropping the file would leave
+              // `inflight` nonzero forever and deadlock the wait loop —
+              // finish the remainder synchronously instead
+              bool ok = true;
+              while (st[i].done < st[i].size) {
+                ssize_t r = pread(st[i].fd,
+                                  bufs[i].bytes.data() + st[i].done,
+                                  st[i].size - st[i].done, st[i].done);
+                if (r < 0 && errno == EINTR) continue;
+                if (r <= 0) {
+                  ok = false;
+                  break;
+                }
+                st[i].done += static_cast<size_t>(r);
+              }
+              --inflight;
+              finish(i, ok);
             }
           }
         }

@@ -20,6 +20,12 @@ Design (idiomatic JAX SPMD, no per-device programs):
   on zero/garbage buffers and their results are masked out, trading a little
   bubble compute for a collective-only, compiler-schedulable loop.
 
+Current scope: all operands (batch and every stage's params) are
+replicated to each stage device (``in_specs=P()``), so this implementation
+demonstrates/overlaps the *schedule* (compute + activation hops) but does
+not yet shard weight MEMORY across stages — per-stage weight placement is
+the noted next step if a trunk ever outgrows one device's HBM (ROADMAP).
+
 The pipeline is differentiable: pass the weights via ``stage_params`` and
 ``jax.grad`` flows through the schedule (``ppermute`` transposes to the
 inverted permutation), with gradient equality against sequential execution

@@ -92,10 +92,6 @@ def make_train_step(
 
     def train_step(state: TrainState, images, targets, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
-        if preprocess is not None:
-            images_p = preprocess(images)
-        else:
-            images_p = images
 
         def apply_fn(model_params, batch_stats, x, drng):
             return model.apply(
@@ -110,6 +106,12 @@ def make_train_step(
             apply_fn = jax.checkpoint(apply_fn)
 
         def grads_of(params, batch_stats, imgs, tgts, drng):
+            # preprocess runs here, per (micro)batch, so with accumulation
+            # the full batch is only ever resident in its raw (uint8)
+            # transfer form — the documented HBM contract
+            if preprocess is not None:
+                imgs = preprocess(imgs)
+
             def loss_fn(p):
                 out, mutated = apply_fn(p["model"], batch_stats, imgs, drng)
                 loss = criterion(p["criterion"], out, tgts)
@@ -119,18 +121,18 @@ def make_train_step(
 
         if accum_steps == 1:
             (loss, new_stats), grads = grads_of(
-                state.params, state.batch_stats, images_p, targets,
+                state.params, state.batch_stats, images, targets,
                 dropout_rng,
             )
         else:
-            batch = images_p.shape[0]
+            batch = images.shape[0]
             if batch % accum_steps:
                 raise ValueError(
                     f"batch {batch} is not divisible into "
                     f"{accum_steps} accumulation microbatches"
                 )
             micro = batch // accum_steps
-            imgs = images_p.reshape((accum_steps, micro) + images_p.shape[1:])
+            imgs = images.reshape((accum_steps, micro) + images.shape[1:])
             tgts = targets.reshape((accum_steps, micro) + targets.shape[1:])
 
             def body(carry, xs):

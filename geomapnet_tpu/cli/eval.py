@@ -44,7 +44,35 @@ from .config import parse_ini
 __all__ = ["evaluate", "main"]
 
 
-def evaluate(
+def evaluate(model, state, dataset, **kwargs) -> dict:
+    """Run batched evaluation over an MF (or plain frame) dataset.
+
+    ``preprocess`` fuses a device-side image stage (e.g. uint8 normalize)
+    into the jit'd eval step; ``stochastic`` keeps dropout active (the
+    reference's eval-time dropout quirk, for accuracy-parity runs). Returns
+    {"pred_poses", "targ_poses", "t_err", "q_err", "median_t", "median_q",
+    "mean_t", "mean_q", "images_per_sec"}.
+
+    With a variable-skip MF dataset the loader's get_indices draws and the
+    middle-frame scatter's re-draws would differ under the shared RNG, so
+    per-index deterministic sampling is forced for the duration of the call
+    (and restored afterwards — the caller's dataset is not left mutated).
+    """
+    needs_det = (
+        isinstance(dataset, MF)
+        and dataset.sampler.variable_skip
+        and not dataset.deterministic_indices
+    )
+    if not needs_det:
+        return _evaluate(model, state, dataset, **kwargs)
+    dataset.deterministic_indices = True
+    try:
+        return _evaluate(model, state, dataset, **kwargs)
+    finally:
+        dataset.deterministic_indices = False
+
+
+def _evaluate(
     model,
     state,
     dataset,
@@ -59,24 +87,14 @@ def evaluate(
     seed: int = 7,
     num_workers: int = 1,
     quantize: bool = False,
+    fold_bn: bool = False,
+    calib_batches: int = 0,
+    quantize_heads: bool = False,
     use_mesh: bool = True,
 ) -> dict:
-    """Run batched evaluation over an MF (or plain frame) dataset.
-
-    ``preprocess`` fuses a device-side image stage (e.g. uint8 normalize)
-    into the jit'd eval step; ``stochastic`` keeps dropout active (the
-    reference's eval-time dropout quirk, for accuracy-parity runs). Returns
-    {"pred_poses", "targ_poses", "t_err", "q_err", "median_t", "median_q",
-    "mean_t", "mean_q", "images_per_sec"}.
-    """
     is_tuple = isinstance(dataset, MF)
     L = len(dataset.dset) if is_tuple else len(dataset)
     steps = dataset.steps if is_tuple else 1
-    if is_tuple and dataset.sampler.variable_skip:
-        # with a shared RNG, the loader's get_indices draws and the
-        # middle-frame scatter's re-draws would DIFFER — force per-index
-        # deterministic sampling so both resolve the same tuples
-        dataset.deterministic_indices = True
 
     pose_m, pose_s = (
         pose_stats if pose_stats is not None else (np.zeros(3), np.ones(3))
@@ -102,31 +120,63 @@ def evaluate(
         return shard_step(fn, mesh, n_batch_args=1, n_state_args=1,
                           n_replicated_args=2, donate_state=False)
 
-    if quantize:
-        # int8 PTQ inference (models/quant.py): BN-folded per-channel weight
-        # quant + dynamic activation quant; conv MACs run on the int8 MXU
+    if quantize or fold_bn:
+        # int8 PTQ inference or BN-folded float serving (models/quant.py):
+        # both run the same hand-written trunk walk over a prepared pytree —
+        # int8 conv MACs on the int8 MXU, or folded conv+bias with zero BN
+        # ops in the graph
         if stochastic:
-            raise ValueError("--quantize is incompatible with --eval_dropout")
+            raise ValueError(
+                "--quantize/--fold_bn are incompatible with --eval_dropout")
+        if quantize and fold_bn:
+            raise ValueError("--fold_bn is implied by --quantize; pick one")
         from ..models.quant import (
+            calibrate_activation_scales,
+            fold_posenet_variables,
             mapnet_apply_int8,
             posenet_apply_int8,
             quantize_posenet_variables,
         )
 
         trunk = getattr(model, "posenet", model).feature_extractor
-        qtree = quantize_posenet_variables(
-            {"params": state.params["model"], "batch_stats": state.batch_stats},
-            stage_sizes=tuple(trunk.stage_sizes),
-        )
+        variables = {"params": state.params["model"],
+                     "batch_stats": state.batch_stats}
+        if quantize:
+            qtree = quantize_posenet_variables(
+                variables, stage_sizes=tuple(trunk.stage_sizes),
+                quantize_heads=quantize_heads,
+            )
+            if calib_batches:
+                # static activation scales: observe absmax over the first
+                # few batches of this very dataset, then bake scales in
+                calib = []
+                cl = Loader(dataset, batch_size, shuffle=False,
+                            drop_last=False, num_workers=num_workers)
+                for i, (imgs, _, _) in enumerate(cl):
+                    if i >= calib_batches:
+                        break
+                    x = jnp.asarray(imgs)
+                    calib.append(preprocess(x) if preprocess is not None else x)
+                qtree = calibrate_activation_scales(qtree, calib)
+        else:
+            qtree = fold_posenet_variables(
+                variables, stage_sizes=tuple(trunk.stage_sizes))
         qtree = jax.device_put(
             qtree, replicated(mesh)) if mesh is not None else jax.device_put(
             qtree)
+        # int8 serves in bf16 compute dtype; BN folding is a float-path
+        # optimization and must keep the model's own precision semantics
+        apply_dtype = (
+            jnp.bfloat16 if quantize
+            else getattr(getattr(model, "posenet", model), "dtype",
+                         jnp.bfloat16)
+        )
 
         def _quant_step(state_, images, targets=None, rng=None):
             if preprocess is not None:
                 images = preprocess(images)
             fn = mapnet_apply_int8 if images.ndim == 5 else posenet_apply_int8
-            return jnp.zeros(()), fn(qtree, images)
+            return jnp.zeros(()), fn(qtree, images, dtype=apply_dtype)
 
         eval_step = _jit_step(_quant_step)
     else:
@@ -329,6 +379,20 @@ def main(argv=None):
         "--quantize", choices=["int8"], default=None,
         help="run the trunk with int8 PTQ inference (models/quant.py)",
     )
+    parser.add_argument(
+        "--fold_bn", action="store_true",
+        help="serving float path: fold BatchNorm into conv weights+bias "
+        "(no quantization; implied by --quantize)",
+    )
+    parser.add_argument(
+        "--calibrate", type=int, default=0, metavar="N",
+        help="with --quantize: observe N batches to bake static activation "
+        "scales (default 0 = dynamic per-batch scales)",
+    )
+    parser.add_argument(
+        "--quantize_heads", action="store_true",
+        help="with --quantize: run the fc_feat head matmul in int8 too",
+    )
     args = parser.parse_args(argv)
 
     config = parse_ini(args.config_file)
@@ -435,6 +499,9 @@ def main(argv=None):
         stochastic=args.eval_dropout, seed=config.seed,
         num_workers=config.num_workers,
         quantize=args.quantize == "int8",
+        fold_bn=args.fold_bn,
+        calib_batches=args.calibrate,
+        quantize_heads=args.quantize_heads,
     )
 
     print(

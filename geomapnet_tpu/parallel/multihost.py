@@ -31,6 +31,7 @@ __all__ = [
     "is_distributed",
     "make_global_batch",
     "local_batch_size",
+    "assert_same_across_processes",
 ]
 
 _initialized = False
@@ -89,6 +90,29 @@ def local_batch_size(global_batch: int) -> int:
             f"global batch {global_batch} not divisible by process count {count}"
         )
     return global_batch // count
+
+
+def assert_same_across_processes(values, name: str = "values") -> None:
+    """Assert a small host array is identical on every process.
+
+    Single-process: free. Multi-process: one ``process_allgather`` collective
+    — call once per epoch, not per batch. Guards invariants the SPMD math
+    silently assumes (e.g. every process pads its val tail identically:
+    weighted val-loss averaging in ``Trainer.validate`` multiplies the local
+    pad by ``process_count``, which skews the loss if any process disagrees).
+    """
+    if jax.process_count() == 1:
+        return
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    local = np.atleast_1d(np.asarray(values))
+    gathered = multihost_utils.process_allgather(local)
+    if not (gathered == gathered[0]).all():
+        raise AssertionError(
+            f"multi-host invariant violated: {name} differ across processes "
+            f"(process 0 saw {gathered[0]!r}; full gather {gathered!r})"
+        )
 
 
 def make_global_batch(batch: Any, mesh: jax.sharding.Mesh, axis: str = "data") -> Any:

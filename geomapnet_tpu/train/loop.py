@@ -127,18 +127,14 @@ class Trainer:
             if (config.do_val and val_dataset is not None) else None
         )
 
-        self.tx = make_optimizer(
+        # return_schedule: the logged lr reads the schedule *inside* the
+        # optimizer chain, not a parallel reconstruction that could drift
+        self.tx, self._lr_schedule = make_optimizer(
             config.opt, config.lr, config.weight_decay,
             steps_per_epoch=max(1, len(self.train_loader)),
             max_grad_norm=config.max_grad_norm,
+            return_schedule=True,
             **config.optim_extras,
-        )
-        from .optim import make_lr_schedule
-
-        self._lr_schedule = make_lr_schedule(
-            config.opt, config.lr, max(1, len(self.train_loader)),
-            config.optim_extras.get("lr_decay"),
-            config.optim_extras.get("lr_stepvalues"),
         )
 
         sample_imgs, _, _ = next(iter(
@@ -200,7 +196,7 @@ class Trainer:
     def validate(self, epoch: int) -> float:
         # losses accumulate on device; a single readback at the end keeps the
         # launch queue full (a float() per batch is one host sync per batch)
-        losses, weights = [], []
+        losses, weights, pads = [], [], []
         batch_time = AverageMeter()
         end = time.time()
         for batch_idx, (imgs, poses, pad) in enumerate(self.val_loader):
@@ -210,7 +206,9 @@ class Trainer:
             # imgs is the GLOBAL batch after _put; every process pads its
             # local tail identically (same local length + batch size), so
             # global valid count = global rows - local pad * process_count
+            # (the identical-pad invariant is checked after the loop)
             weights.append(imgs.shape[0] - pad * self.process_count)
+            pads.append(pad)
             batch_time.update(time.time() - end)
             end = time.time()
             if batch_idx % self.config.print_freq == 0:
@@ -220,6 +218,12 @@ class Trainer:
                     f"Batch time {batch_time.val:.4f} ({batch_time.avg:.4f})\t"
                     f"Loss {float(loss):f}"
                 )
+        if self.process_count > 1:
+            # one collective per validation: the weighted average above is
+            # only correct if every process padded every batch identically
+            from ..parallel.multihost import assert_same_across_processes
+
+            assert_same_across_processes(pads, "per-batch val pad counts")
         w = np.asarray(weights, np.float64)
         val_loss = float(np.dot(np.asarray(losses, np.float64), w) / w.sum())
         print(f"Val {self.experiment}: Epoch {epoch}, val_loss {val_loss:f}")

@@ -68,6 +68,7 @@ def make_optimizer(
     lr_decay: float | None = None,
     lr_stepvalues: Sequence[int] | None = None,
     decay_criterion_params: bool = True,
+    return_schedule: bool = False,
     **unused,
 ) -> optax.GradientTransformation:
     """Build the optax chain for ``{"model", "criterion"}`` param trees.
@@ -76,6 +77,10 @@ def make_optimizer(
     :param decay_criterion_params: apply weight decay to the learnable loss
         weights (torch does when they are in the param list,
         /root/reference/scripts/train.py:104-112)
+    :param return_schedule: also return the lr schedule *actually inside the
+        chain* as ``(tx, schedule)`` — the single source of truth for lr
+        logging (a separately-built schedule can silently drift from what
+        the optimizer applies)
     """
     schedule = make_lr_schedule(
         method, base_lr, steps_per_epoch, lr_decay, lr_stepvalues
@@ -107,4 +112,5 @@ def make_optimizer(
         raise ValueError(f"unknown optimizer method: {method}")
 
     chain.append(optax.scale_by_learning_rate(schedule))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    return (tx, schedule) if return_schedule else tx

@@ -1,4 +1,4 @@
-"""int8 post-training quantization for PoseNet/MapNet inference.
+"""BN folding + int8 post-training quantization for PoseNet/MapNet inference.
 
 TPU MXUs run int8 matmuls at twice the bf16 rate (measured 1.43x on a
 representative 3x3 conv on this chip — PERF.md round 2), and camera
@@ -7,22 +7,34 @@ single biggest single-chip throughput lever left after bf16 + batch tuning.
 The reference has no equivalent (pure float32 torch); this is a
 beyond-parity capability.
 
-Scheme (standard, robust PTQ):
+Two inference pytrees share one trunk walk (``_trunk_forward``), with each
+conv site self-describing its arithmetic:
 
-- **Weights**: symmetric per-output-channel int8; each conv kernel is folded
-  with its BatchNorm first (inference BN is an affine ``a*z + b`` per
-  channel), so the conv's int32 accumulator is rescaled once by
-  ``m = a * w_scale * x_scale`` and shifted by ``b``.
-- **Activations**: symmetric per-tensor int8 with a DYNAMIC scale
-  (``max|x| / 127`` computed in-graph per batch). No calibration data needed,
-  no accuracy cliff from stale static ranges; the extra reduction is noise
-  next to the conv.
-- Residual adds, relu, pooling and the tiny pose heads stay in ``compute
-  dtype`` (bf16) — only the conv MACs run int8.
+- **folded float** (:func:`fold_posenet_variables`): inference BatchNorm is
+  an affine ``a*z + b`` per channel, so it folds into the conv kernel
+  (``kernel * a``) and a bias — the serving-path forward then runs pure
+  conv+bias with zero BN ops. Used by ``--fold_bn`` on the eval CLI.
+- **int8 PTQ** (:func:`quantize_posenet_variables`): symmetric per-output-
+  channel int8 weights with BN folded into the requant multiplier
+  (``m = a * w_scale * x_scale``); the conv's int32 accumulator is rescaled
+  once and shifted by ``b``.
 
-Everything here is pure-functional: :func:`quantize_posenet_variables`
-prepares a pytree offline, :func:`posenet_apply_int8` /
-:func:`mapnet_apply_int8` are jittable forwards over it.
+Activation scales for int8 are symmetric per-tensor and either
+
+- **dynamic** (default): ``max|x| / 127`` computed in-graph per batch — no
+  calibration needed, but each conv input pays a full-tensor reduction; or
+- **static** (:func:`calibrate_activation_scales`): absmax observed over a
+  few calibration batches and baked into the pytree, turning quantization
+  into a fuse-friendly elementwise op (multiply/round/clip) with no extra
+  reduction pass over HBM.
+
+Residual adds, relu and pooling stay in ``compute dtype`` (bf16); the big
+``fc_feat`` head matmul can optionally run int8 too (``quantize_heads``),
+while the tiny 3-wide pose heads always stay float.
+
+Everything here is pure-functional: the ``*_variables`` functions prepare a
+pytree offline, :func:`posenet_apply_int8` / :func:`posenet_apply_folded`
+(and their ``mapnet_*`` wrappers) are jittable forwards over it.
 """
 
 from __future__ import annotations
@@ -36,11 +48,26 @@ from jax import lax
 
 __all__ = [
     "quantize_posenet_variables",
+    "fold_posenet_variables",
+    "calibrate_activation_scales",
     "posenet_apply_int8",
     "mapnet_apply_int8",
+    "posenet_apply_folded",
+    "mapnet_apply_folded",
 ]
 
 _BN_EPS = 1e-5  # matches models/resnet.py
+
+
+def _bn_affine(bn_params: Mapping, bn_stats: Mapping):
+    """Inference BN as a per-channel affine: returns (a, b) with BN(z)=a*z+b."""
+    a = np.asarray(bn_params["scale"], np.float32) / np.sqrt(
+        np.asarray(bn_stats["var"], np.float32) + _BN_EPS
+    )
+    b = np.asarray(bn_params["bias"], np.float32) - np.asarray(
+        bn_stats["mean"], np.float32
+    ) * a
+    return a, b
 
 
 def _fold_conv_bn(kernel: np.ndarray, bn_params: Mapping, bn_stats: Mapping,
@@ -52,12 +79,7 @@ def _fold_conv_bn(kernel: np.ndarray, bn_params: Mapping, bn_stats: Mapping,
     ``conv_int32 * (m * x_scale) + b`` reproducing BN(conv(x)).
     """
     kernel = np.asarray(kernel, np.float32)
-    a = np.asarray(bn_params["scale"], np.float32) / np.sqrt(
-        np.asarray(bn_stats["var"], np.float32) + _BN_EPS
-    )
-    b = np.asarray(bn_params["bias"], np.float32) - np.asarray(
-        bn_stats["mean"], np.float32
-    ) * a
+    a, b = _bn_affine(bn_params, bn_stats)
 
     w_absmax = np.max(np.abs(kernel), axis=(0, 1, 2))  # per out channel
     w_scale = np.maximum(w_absmax, 1e-12) / 127.0
@@ -69,56 +91,114 @@ def _fold_conv_bn(kernel: np.ndarray, bn_params: Mapping, bn_stats: Mapping,
     }
 
 
-def _quant_block(params: Mapping, stats: Mapping) -> dict:
+def _fold_conv_bn_float(kernel: np.ndarray, bn_params: Mapping,
+                        bn_stats: Mapping) -> dict:
+    """Fold BN into the conv weights WITHOUT quantizing (serving float path).
+
+    Returns {kernel (H,W,I,O) f32 scaled per out channel, b (O,) f32} with
+    ``conv(x, kernel) + b`` reproducing BN(conv(x)) exactly (in f32).
+    """
+    kernel = np.asarray(kernel, np.float32)
+    a, b = _bn_affine(bn_params, bn_stats)
+    return {"kernel": (kernel * a).astype(np.float32),
+            "b": b.astype(np.float32)}
+
+
+def _walk_block(params: Mapping, stats: Mapping, fold) -> dict:
     out = {
-        "conv1": _fold_conv_bn(params["conv1"]["kernel"], params["bn1"],
-                               stats["bn1"]),
-        "conv2": _fold_conv_bn(params["conv2"]["kernel"], params["bn2"],
-                               stats["bn2"]),
+        "conv1": fold(params["conv1"]["kernel"], params["bn1"], stats["bn1"]),
+        "conv2": fold(params["conv2"]["kernel"], params["bn2"], stats["bn2"]),
     }
     if "conv3" in params:  # Bottleneck (resnet50-family)
-        out["conv3"] = _fold_conv_bn(params["conv3"]["kernel"], params["bn3"],
-                                     stats["bn3"])
+        out["conv3"] = fold(params["conv3"]["kernel"], params["bn3"],
+                            stats["bn3"])
     if "downsample_conv" in params:
-        out["downsample"] = _fold_conv_bn(
+        out["downsample"] = fold(
             params["downsample_conv"]["kernel"], params["downsample_bn"],
             stats["downsample_bn"],
         )
     return out
 
 
-def quantize_posenet_variables(variables: Mapping,
-                               stage_sizes=(3, 4, 6, 3)) -> dict:
-    """PoseNet variables -> int8 inference pytree.
-
-    Accepts the ``{"params", "batch_stats"}`` tree of a PoseNet (or the
-    ``posenet``-nested MapNet equivalent). Heads stay float.
-    """
+def _prepare_tree(variables: Mapping, stage_sizes, fold,
+                  quantize_heads: bool = False) -> dict:
     params, stats = variables["params"], variables["batch_stats"]
     if "posenet" in params:  # MapNet nesting
         params, stats = params["posenet"], stats["posenet"]
     fe_p, fe_s = params["feature_extractor"], stats["feature_extractor"]
 
     trunk: dict[str, Any] = {
-        "conv1": _fold_conv_bn(fe_p["conv1"]["kernel"], fe_p["bn1"],
-                               fe_s["bn1"]),
+        "conv1": fold(fe_p["conv1"]["kernel"], fe_p["bn1"], fe_s["bn1"]),
     }
     for stage, n_blocks in enumerate(stage_sizes):
         for block in range(n_blocks):
             name = f"layer{stage + 1}_{block}"
-            trunk[name] = _quant_block(fe_p[name], fe_s[name])
+            trunk[name] = _walk_block(fe_p[name], fe_s[name], fold)
 
     heads = {
         k: jax.tree.map(np.asarray, dict(params[k]))
         for k in ("fc_feat", "fc_xyz", "fc_wpqr")
     }
+    if quantize_heads:
+        # the 512->2048 fc_feat matmul is the only head worth int8; the
+        # 3-wide pose heads are noise. Per-output-channel symmetric weights.
+        w = np.asarray(heads["fc_feat"]["kernel"], np.float32)  # (I, O)
+        w_scale = np.maximum(np.max(np.abs(w), axis=0), 1e-12) / 127.0
+        heads["fc_feat"] = {
+            "qkernel": np.clip(np.round(w / w_scale), -127, 127
+                               ).astype(np.int8),
+            "m": w_scale.astype(np.float32),
+            "b": np.asarray(heads["fc_feat"]["bias"], np.float32),
+        }
     return {"trunk": trunk, "heads": heads, "stage_sizes": tuple(stage_sizes)}
 
 
-def _quant_conv(x: jnp.ndarray, q: Mapping, strides, padding,
-                dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Dynamic per-tensor int8 activation quant + int8 conv + affine."""
-    x_scale = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
+def quantize_posenet_variables(variables: Mapping, stage_sizes=(3, 4, 6, 3),
+                               quantize_heads: bool = False) -> dict:
+    """PoseNet variables -> int8 inference pytree.
+
+    Accepts the ``{"params", "batch_stats"}`` tree of a PoseNet (or the
+    ``posenet``-nested MapNet equivalent). Pose heads stay float;
+    ``quantize_heads`` additionally runs the fc_feat matmul in int8.
+    """
+    return _prepare_tree(variables, stage_sizes, _fold_conv_bn,
+                         quantize_heads=quantize_heads)
+
+
+def fold_posenet_variables(variables: Mapping, stage_sizes=(3, 4, 6, 3)
+                           ) -> dict:
+    """PoseNet variables -> BN-folded FLOAT inference pytree (no quant).
+
+    The serving-path counterpart of ``--quantize``: same trunk walk and
+    apply functions, but convs run in compute dtype with BN pre-folded into
+    weights+bias, removing every BN op from the inference graph.
+    """
+    return _prepare_tree(variables, stage_sizes, _fold_conv_bn_float)
+
+
+def _conv_site(x: jnp.ndarray, q: Mapping, strides, padding,
+               dtype=jnp.bfloat16, observe: list | None = None
+               ) -> jnp.ndarray:
+    """One conv site: int8 (dynamic or static scale) or folded float.
+
+    ``observe`` (calibration mode): append this site's input absmax to the
+    list — sites are visited in a deterministic order shared with
+    :func:`_iter_sites`, which is how calibrated scales find their site.
+    """
+    if observe is not None:
+        observe.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+    if "qkernel" not in q:  # folded float path
+        y = lax.conv_general_dilated(
+            x.astype(dtype), jnp.asarray(q["kernel"], dtype), strides, padding,
+            dimension_numbers=lax.conv_dimension_numbers(
+                x.shape, q["kernel"].shape, ("NHWC", "HWIO", "NHWC")),
+        )
+        return y + jnp.asarray(q["b"], dtype)
+    if "x_scale" in q:  # static calibrated activation scale
+        x_scale = jnp.asarray(q["x_scale"], jnp.float32)
+    else:  # dynamic: one extra full-tensor reduction per conv input
+        x_scale = jnp.maximum(
+            jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-12) / 127.0
     qx = jnp.clip(jnp.round(x.astype(jnp.float32) / x_scale), -127, 127
                   ).astype(jnp.int8)
     dn = lax.conv_dimension_numbers(qx.shape, q["qkernel"].shape,
@@ -131,36 +211,39 @@ def _quant_conv(x: jnp.ndarray, q: Mapping, strides, padding,
     return y.astype(dtype)
 
 
-def _quant_basic_block(x: jnp.ndarray, q: Mapping, stride, dtype
-                       ) -> jnp.ndarray:
-    y = _quant_conv(x, q["conv1"], stride, [(1, 1), (1, 1)], dtype)
+def _basic_block(x: jnp.ndarray, q: Mapping, stride, dtype, observe
+                 ) -> jnp.ndarray:
+    y = _conv_site(x, q["conv1"], stride, [(1, 1), (1, 1)], dtype, observe)
     y = jax.nn.relu(y)
-    y = _quant_conv(y, q["conv2"], (1, 1), [(1, 1), (1, 1)], dtype)
+    y = _conv_site(y, q["conv2"], (1, 1), [(1, 1), (1, 1)], dtype, observe)
     identity = (
-        _quant_conv(x, q["downsample"], stride, [(0, 0), (0, 0)], dtype)
+        _conv_site(x, q["downsample"], stride, [(0, 0), (0, 0)], dtype,
+                   observe)
         if "downsample" in q else x
     )
     return jax.nn.relu(y + identity)
 
 
-def _quant_bottleneck_block(x: jnp.ndarray, q: Mapping, stride, dtype
-                            ) -> jnp.ndarray:
-    y = _quant_conv(x, q["conv1"], (1, 1), [(0, 0), (0, 0)], dtype)
+def _bottleneck_block(x: jnp.ndarray, q: Mapping, stride, dtype, observe
+                      ) -> jnp.ndarray:
+    y = _conv_site(x, q["conv1"], (1, 1), [(0, 0), (0, 0)], dtype, observe)
     y = jax.nn.relu(y)
-    y = _quant_conv(y, q["conv2"], stride, [(1, 1), (1, 1)], dtype)
+    y = _conv_site(y, q["conv2"], stride, [(1, 1), (1, 1)], dtype, observe)
     y = jax.nn.relu(y)
-    y = _quant_conv(y, q["conv3"], (1, 1), [(0, 0), (0, 0)], dtype)
+    y = _conv_site(y, q["conv3"], (1, 1), [(0, 0), (0, 0)], dtype, observe)
     identity = (
-        _quant_conv(x, q["downsample"], stride, [(0, 0), (0, 0)], dtype)
+        _conv_site(x, q["downsample"], stride, [(0, 0), (0, 0)], dtype,
+                   observe)
         if "downsample" in q else x
     )
     return jax.nn.relu(y + identity)
 
 
-def _trunk_forward(qtree: Mapping, x: jnp.ndarray,
-                   dtype=jnp.bfloat16) -> jnp.ndarray:
+def _trunk_forward(qtree: Mapping, x: jnp.ndarray, dtype=jnp.bfloat16,
+                   observe: list | None = None) -> jnp.ndarray:
     trunk = qtree["trunk"]
-    x = _quant_conv(x, trunk["conv1"], (2, 2), [(3, 3), (3, 3)], dtype)
+    x = _conv_site(x, trunk["conv1"], (2, 2), [(3, 3), (3, 3)], dtype,
+                   observe)
     x = jax.nn.relu(x)
     x = lax.reduce_window(
         x, jnp.asarray(-jnp.inf, x.dtype), lax.max,
@@ -174,25 +257,94 @@ def _trunk_forward(qtree: Mapping, x: jnp.ndarray,
             # cannot stand in for the stride)
             stride = (2, 2) if (stage > 0 and block == 0) else (1, 1)
             q = trunk[f"layer{stage + 1}_{block}"]
-            run = _quant_bottleneck_block if "conv3" in q else _quant_basic_block
-            x = run(x, q, stride, dtype)
+            run = _bottleneck_block if "conv3" in q else _basic_block
+            x = run(x, q, stride, dtype, observe)
     return jnp.mean(x, axis=(1, 2))
 
 
-def posenet_apply_int8(qtree: Mapping, images: jnp.ndarray,
-                       dtype=jnp.bfloat16) -> jnp.ndarray:
-    """(N, H, W, 3) -> (N, 6) poses via the int8 trunk + float heads."""
-    feat = _trunk_forward(qtree, images.astype(dtype), dtype)
+def _iter_sites(qtree: Mapping):
+    """Yield conv-site dicts in exactly ``_trunk_forward``'s visit order."""
+    trunk = qtree["trunk"]
+    yield trunk["conv1"]
+    for stage, n_blocks in enumerate(qtree["stage_sizes"]):
+        for block in range(n_blocks):
+            blk = trunk[f"layer{stage + 1}_{block}"]
+            for key in ("conv1", "conv2", "conv3", "downsample"):
+                if key in blk:
+                    yield blk[key]
+
+
+def calibrate_activation_scales(qtree: Mapping, batches,
+                                dtype=jnp.bfloat16) -> dict:
+    """Bake static activation scales into an int8 pytree.
+
+    Runs the (dynamic-scale) int8 forward over ``batches`` — an iterable of
+    (N, H, W, 3) or (N, T, H, W, 3) preprocessed image arrays — observing
+    each conv input's absmax, and returns a new pytree whose sites carry
+    ``x_scale = max_batches(absmax) / 127``. The static-scale forward then
+    quantizes with a pure elementwise op (no per-conv reduction), which is
+    both faster and deterministic batch-to-batch.
+    """
+
+    @jax.jit
+    def _absmaxes(x):
+        if x.ndim == 5:
+            x = x.reshape(-1, *x.shape[2:])
+        obs: list = []
+        _trunk_forward(qtree, x.astype(dtype), dtype, observe=obs)
+        return jnp.stack(obs)
+
+    mx = None
+    for batch in batches:
+        m = _absmaxes(jnp.asarray(batch))
+        mx = m if mx is None else jnp.maximum(mx, m)
+    if mx is None:
+        raise ValueError("calibration requires at least one batch")
+    mx = np.asarray(mx, np.float32)
+
+    out = jax.tree.map(lambda v: v, qtree)  # rebuild containers, share leaves
+    sites = list(_iter_sites(out))
+    if len(sites) != len(mx):
+        raise AssertionError(
+            f"site walk ({len(sites)}) and observation ({len(mx)}) diverged")
+    for site, absmax in zip(sites, mx):
+        site["x_scale"] = np.float32(max(float(absmax), 1e-12) / 127.0)
+    return out
+
+
+def _apply_heads(qtree: Mapping, feat: jnp.ndarray, dtype) -> jnp.ndarray:
     heads = qtree["heads"]
 
     def dense(h, p):
         return h @ jnp.asarray(p["kernel"], dtype) + jnp.asarray(
             p["bias"], dtype)
 
-    h = jax.nn.relu(dense(feat, heads["fc_feat"]))
+    fc_feat = heads["fc_feat"]
+    if "qkernel" in fc_feat:  # int8 fc_feat (dynamic per-tensor act scale —
+        # the (N, 512) input makes the reduction negligible)
+        x_scale = jnp.maximum(
+            jnp.max(jnp.abs(feat)).astype(jnp.float32), 1e-12) / 127.0
+        qh = jnp.clip(jnp.round(feat.astype(jnp.float32) / x_scale),
+                      -127, 127).astype(jnp.int8)
+        acc = lax.dot_general(
+            qh, fc_feat["qkernel"], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        h = acc.astype(jnp.float32) * (fc_feat["m"] * x_scale) + fc_feat["b"]
+        h = h.astype(dtype)
+    else:
+        h = dense(feat, fc_feat)
+    h = jax.nn.relu(h)
     xyz = dense(h, heads["fc_xyz"]).astype(jnp.float32)
     wpqr = dense(h, heads["fc_wpqr"]).astype(jnp.float32)
     return jnp.concatenate([xyz, wpqr], axis=-1)
+
+
+def posenet_apply_int8(qtree: Mapping, images: jnp.ndarray,
+                       dtype=jnp.bfloat16) -> jnp.ndarray:
+    """(N, H, W, 3) -> (N, 6) poses via the int8 trunk + float heads."""
+    feat = _trunk_forward(qtree, images.astype(dtype), dtype)
+    return _apply_heads(qtree, feat, dtype)
 
 
 def mapnet_apply_int8(qtree: Mapping, images: jnp.ndarray,
@@ -202,3 +354,9 @@ def mapnet_apply_int8(qtree: Mapping, images: jnp.ndarray,
     flat = images.reshape(n * t, *images.shape[2:])
     out = posenet_apply_int8(qtree, flat, dtype)
     return out.reshape(n, t, 6)
+
+
+# The folded-float pytree runs through the identical walk; these aliases keep
+# call sites honest about which pytree they hold.
+posenet_apply_folded = posenet_apply_int8
+mapnet_apply_folded = mapnet_apply_int8

@@ -40,6 +40,9 @@ def export_inference(
     preprocess=None,
     platforms: tuple[str, ...] | None = None,
     quantize: bool = False,
+    fold_bn: bool = False,
+    calib_data=None,
+    quantize_heads: bool = False,
 ) -> bytes:
     """Serialize the inference function (weights baked in) to StableHLO.
 
@@ -54,24 +57,38 @@ def export_inference(
     :param platforms: lowering platforms (default: current backend). Pass
         ``("tpu", "cpu")`` for an artifact that loads on both.
     :param quantize: bake an int8-PTQ trunk into the artifact
-        (:mod:`geomapnet_tpu.models.quant`; ~1.23x bf16 on v5e)
+        (:mod:`geomapnet_tpu.models.quant`)
+    :param fold_bn: bake a BN-folded float trunk instead (serving float path
+        with zero BN ops; implied by ``quantize``)
+    :param calib_data: with ``quantize``, an iterable of preprocessed image
+        batches used to bake static activation scales
+    :param quantize_heads: with ``quantize``, run the fc_feat matmul int8
     :returns: serialized artifact bytes
     """
     params = jax.device_get(state.params["model"])
     batch_stats = jax.device_get(state.batch_stats)
 
-    if quantize:
+    if quantize or fold_bn:
         from .models.quant import (
+            calibrate_activation_scales,
+            fold_posenet_variables,
             mapnet_apply_int8,
             posenet_apply_int8,
             quantize_posenet_variables,
         )
 
         trunk = getattr(model, "posenet", model).feature_extractor
-        qtree = quantize_posenet_variables(
-            {"params": params, "batch_stats": batch_stats},
-            stage_sizes=tuple(trunk.stage_sizes),
-        )
+        variables = {"params": params, "batch_stats": batch_stats}
+        if quantize:
+            qtree = quantize_posenet_variables(
+                variables, stage_sizes=tuple(trunk.stage_sizes),
+                quantize_heads=quantize_heads,
+            )
+            if calib_data is not None:
+                qtree = calibrate_activation_scales(qtree, calib_data)
+        else:
+            qtree = fold_posenet_variables(
+                variables, stage_sizes=tuple(trunk.stage_sizes))
 
         def infer(images):
             if preprocess is not None:

@@ -1,7 +1,12 @@
-"""int8 vs bf16 eval throughput on the flagship MapNet (ResNet-34).
+"""Serving-path throughput ladder on the flagship MapNet (ResNet-34).
 
-Same chained-launch methodology as bench.py; prints one JSON line per mode.
+Modes: bf16 flax model, BN-folded bf16 (``--fold_bn``), int8 dynamic scales,
+int8 static calibrated scales (``--calibrate``), and static + int8 fc_feat
+head (``--quantize_heads``). Same chained-launch methodology as bench.py;
+prints one JSON line per mode.
+
 Usage: python scripts/bench_quant.py [--batch 128] [--iters 20]
+       [--modes bf16,folded,int8,int8_static,int8_static_heads]
 """
 
 from __future__ import annotations
@@ -24,15 +29,22 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from bench import H, W, T, build, time_forward  # noqa: E402
 
+ALL_MODES = ("bf16", "folded", "int8", "int8_static", "int8_static_heads")
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--modes", type=str, default=",".join(ALL_MODES))
     args = ap.parse_args()
+    modes = args.modes.split(",")
 
     from geomapnet_tpu.models.quant import (
+        calibrate_activation_scales,
+        fold_posenet_variables,
+        mapnet_apply_folded,
         mapnet_apply_int8,
         quantize_posenet_variables,
     )
@@ -41,23 +53,42 @@ def main():
     x = jax.random.normal(
         jax.random.PRNGKey(42), (args.batch, T, H, W, 3), jnp.bfloat16
     )
+    vtree = {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]}
+    results = {}
 
-    bf16 = time_forward(fwd, variables, x, args.iters, args.warmup)
-    print(json.dumps({"mode": "bf16", "batch": args.batch,
-                      "images_per_sec": round(bf16, 1)}))
+    def run(mode, f):
+        r = time_forward(f, variables, x, args.iters, args.warmup)
+        results[mode] = r
+        line = {"mode": mode, "batch": args.batch,
+                "images_per_sec": round(r, 1)}
+        if "bf16" in results and mode != "bf16":
+            line["speedup_vs_bf16"] = round(r / results["bf16"], 2)
+        print(json.dumps(line), flush=True)
 
-    qtree = quantize_posenet_variables(
-        {"params": variables["params"], "batch_stats": variables["batch_stats"]}
-    )
-    qtree_dev = jax.device_put(qtree)
+    if "bf16" in modes:
+        run("bf16", fwd)
 
-    def qfwd(_params, _stats, images):
-        return mapnet_apply_int8(qtree_dev, images)
+    if "folded" in modes:
+        ftree = jax.device_put(fold_posenet_variables(vtree))
+        run("folded", lambda p, s, im: mapnet_apply_folded(ftree, im))
 
-    int8 = time_forward(qfwd, variables, x, args.iters, args.warmup)
-    print(json.dumps({"mode": "int8", "batch": args.batch,
-                      "images_per_sec": round(int8, 1),
-                      "speedup_vs_bf16": round(int8 / bf16, 2)}))
+    qtree = quantize_posenet_variables(vtree)
+    if "int8" in modes:
+        qdev = jax.device_put(qtree)
+        run("int8", lambda p, s, im: mapnet_apply_int8(qdev, im))
+
+    if "int8_static" in modes or "int8_static_heads" in modes:
+        calib = [jax.random.normal(jax.random.PRNGKey(7), (8, T, H, W, 3),
+                                   jnp.bfloat16)]
+        qstat = jax.device_put(calibrate_activation_scales(qtree, calib))
+        if "int8_static" in modes:
+            run("int8_static", lambda p, s, im: mapnet_apply_int8(qstat, im))
+        if "int8_static_heads" in modes:
+            qh = quantize_posenet_variables(vtree, quantize_heads=True)
+            qh = jax.device_put(calibrate_activation_scales(qh, calib))
+            run("int8_static_heads",
+                lambda p, s, im: mapnet_apply_int8(qh, im))
 
 
 if __name__ == "__main__":

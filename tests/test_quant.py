@@ -12,7 +12,11 @@ import pytest
 
 from geomapnet_tpu.models import MapNet, PoseNet, resnet18
 from geomapnet_tpu.models.quant import (
+    calibrate_activation_scales,
+    fold_posenet_variables,
+    mapnet_apply_folded,
     mapnet_apply_int8,
+    posenet_apply_folded,
     posenet_apply_int8,
     quantize_posenet_variables,
 )
@@ -182,6 +186,133 @@ class TestShardedEvaluate:
         np.testing.assert_allclose(
             sharded["pred_poses"], single["pred_poses"], atol=2e-4)
         assert abs(sharded["median_t"] - single["median_t"]) < 1e-3
+
+
+class TestFoldedFloat:
+    """BN folding without quantization (--fold_bn serving path)."""
+
+    def test_folded_matches_float_model_tight(self, float_model):
+        """Folding is exact algebra — f32 agreement is near machine eps."""
+        model, variables = float_model
+        x = jax.random.normal(jax.random.PRNGKey(3), (4, 64, 96, 3))
+        ref = np.asarray(model.apply(variables, x, train=False))
+        f = fold_posenet_variables(variables, stage_sizes=STAGES)
+        got = np.asarray(posenet_apply_folded(f, x, dtype=jnp.float32))
+        assert got.shape == ref.shape == (4, 6)
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+    def test_folded_tree_is_float(self, float_model):
+        _, variables = float_model
+        f = fold_posenet_variables(variables, stage_sizes=STAGES)
+        site = f["trunk"]["layer2_0"]["downsample"]
+        assert set(site) == {"kernel", "b"}
+        assert site["kernel"].dtype == np.float32
+
+    def test_folded_mapnet_wrapper(self, float_model):
+        _, variables = float_model
+        mapnet = MapNet(posenet=_posenet())
+        mv = {"params": {"posenet": variables["params"]},
+              "batch_stats": {"posenet": variables["batch_stats"]}}
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, 3, 64, 96, 3))
+        ref = np.asarray(mapnet.apply(mv, x, train=False))
+        f = fold_posenet_variables(mv, stage_sizes=STAGES)
+        got = np.asarray(mapnet_apply_folded(f, x, dtype=jnp.float32))
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+    def test_evaluate_fold_bn_matches_float(self):
+        from geomapnet_tpu.cli.eval import evaluate
+        from geomapnet_tpu.data import MF, SyntheticScene
+        from geomapnet_tpu.losses import MapNetCriterion
+        from geomapnet_tpu.train import create_train_state, make_optimizer
+
+        model = MapNet(posenet=_posenet())
+        ds = MF(SyntheticScene(n_frames=16, height=64, width=96, train=False),
+                steps=3, skip=1)
+        state = create_train_state(
+            model, MapNetCriterion(), make_optimizer("adam", 1e-4),
+            jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 96, 3)),
+        )
+        ref = evaluate(model, state, ds, batch_size=4, progress=False,
+                       use_mesh=False)
+        got = evaluate(model, state, ds, batch_size=4, progress=False,
+                       use_mesh=False, fold_bn=True)
+        np.testing.assert_allclose(
+            got["pred_poses"], ref["pred_poses"], rtol=1e-2, atol=1e-3)
+
+
+class TestStaticCalibration:
+    """Calibrated static activation scales (--calibrate N)."""
+
+    def test_scales_baked_on_every_site(self, float_model):
+        _, variables = float_model
+        q = quantize_posenet_variables(variables, stage_sizes=STAGES)
+        x = jax.random.normal(jax.random.PRNGKey(5), (2, 64, 96, 3))
+        qc = calibrate_activation_scales(q, [x], dtype=jnp.float32)
+        from geomapnet_tpu.models.quant import _iter_sites
+
+        sites = list(_iter_sites(qc))
+        # resnet18: conv1 + 8 basic blocks (2 convs each) + 3 downsamples
+        assert len(sites) == 1 + 16 + 3
+        assert all("x_scale" in s and s["x_scale"] > 0 for s in sites)
+        # the original tree is not mutated
+        assert all("x_scale" not in s for s in _iter_sites(q))
+
+    def test_static_matches_dynamic_on_calib_data(self, float_model):
+        """On the calibration data itself, static absmax scales equal the
+        dynamic per-batch scales, so outputs agree almost exactly."""
+        _, variables = float_model
+        q = quantize_posenet_variables(variables, stage_sizes=STAGES)
+        x = jax.random.normal(jax.random.PRNGKey(6), (4, 64, 96, 3))
+        qc = calibrate_activation_scales(q, [x], dtype=jnp.float32)
+        dyn = np.asarray(posenet_apply_int8(q, x, dtype=jnp.float32))
+        stat = np.asarray(posenet_apply_int8(qc, x, dtype=jnp.float32))
+        np.testing.assert_allclose(stat, dyn, rtol=0.02, atol=0.02)
+
+    def test_static_close_to_float_on_fresh_data(self, float_model):
+        model, variables = float_model
+        q = quantize_posenet_variables(variables, stage_sizes=STAGES)
+        calib = [jax.random.normal(jax.random.PRNGKey(7 + i), (4, 64, 96, 3))
+                 for i in range(2)]
+        qc = calibrate_activation_scales(q, calib, dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(9), (4, 64, 96, 3))
+        ref = np.asarray(model.apply(variables, x, train=False))
+        got = np.asarray(posenet_apply_int8(qc, x, dtype=jnp.float32))
+        scale = np.abs(ref).mean()
+        assert np.abs(got - ref).max() / scale < 0.12
+
+    def test_evaluate_calibrated_runs(self):
+        from geomapnet_tpu.cli.eval import evaluate
+        from geomapnet_tpu.data import MF, SyntheticScene
+        from geomapnet_tpu.losses import MapNetCriterion
+        from geomapnet_tpu.train import create_train_state, make_optimizer
+
+        model = MapNet(posenet=_posenet())
+        ds = MF(SyntheticScene(n_frames=16, height=64, width=96, train=False),
+                steps=3, skip=1)
+        state = create_train_state(
+            model, MapNetCriterion(), make_optimizer("adam", 1e-4),
+            jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 96, 3)),
+        )
+        ref = evaluate(model, state, ds, batch_size=4, progress=False,
+                       use_mesh=False, quantize=True)
+        got = evaluate(model, state, ds, batch_size=4, progress=False,
+                       use_mesh=False, quantize=True, calib_batches=2,
+                       quantize_heads=True)
+        assert abs(got["median_t"] - ref["median_t"]) < \
+            max(0.1 * abs(ref["median_t"]), 0.05)
+
+
+class TestQuantizedHeads:
+    def test_int8_fc_feat_close_to_float(self, float_model):
+        model, variables = float_model
+        x = jax.random.normal(jax.random.PRNGKey(10), (4, 64, 96, 3))
+        ref = np.asarray(model.apply(variables, x, train=False))
+        q = quantize_posenet_variables(variables, stage_sizes=STAGES,
+                                       quantize_heads=True)
+        assert q["heads"]["fc_feat"]["qkernel"].dtype == np.int8
+        got = np.asarray(posenet_apply_int8(q, x, dtype=jnp.float32))
+        scale = np.abs(ref).mean()
+        assert np.abs(got - ref).max() / scale < 0.1
 
 
 class TestBottleneckQuant:

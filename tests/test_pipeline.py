@@ -10,7 +10,13 @@ import jax.numpy as jnp
 import pytest
 
 from geomapnet_tpu.parallel import make_mesh
-from geomapnet_tpu.parallel.pipeline import pipeline_apply, stage_shapes
+from geomapnet_tpu.parallel.pipeline import (
+    pack_stage_params,
+    pipeline_apply,
+    shard_stage_params,
+    stage_shapes,
+    unpack_stage_params,
+)
 
 
 def _mlp_stages(key, dims=(12, 32, 20, 8, 5)):
@@ -140,6 +146,139 @@ class TestPipelineTraining:
         for a, b in zip(g_pp, g_seq):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6)
+
+
+def _stage_weights(key, dims=(10, 8, 6, 4)):
+    keys = jax.random.split(key, len(dims) - 1)
+    return [
+        jax.random.normal(k, (din, dout)) / np.sqrt(din)
+        for k, din, dout in zip(keys, dims[:-1], dims[1:])
+    ]
+
+
+class TestPackedStageParams:
+    """Weight-memory sharding: per-stage params live only on their stage."""
+
+    def test_pack_unpack_roundtrip(self):
+        params = [
+            {"w": jnp.arange(6.0).reshape(2, 3),
+             "b": jnp.ones((3,), jnp.bfloat16)},
+            {"w": jnp.full((4, 1), 2.0)},
+        ]
+        buf, meta = pack_stage_params(params)
+        assert buf.shape == (2, 9)  # max(6+3, 4) = 9
+        out = unpack_stage_params(buf, meta)
+        for p, q in zip(params, out):
+            assert jax.tree.map(lambda a: a.dtype, p) == \
+                jax.tree.map(lambda a: a.dtype, q)
+            for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(q)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_forward_matches_sequential(self):
+        mesh = make_mesh(jax.devices()[:3], ("stage",), (3,))
+        params = _stage_weights(jax.random.PRNGKey(0))
+        fns = [lambda w, a: jnp.tanh(a @ w)] * len(params)
+        x = jax.random.normal(jax.random.PRNGKey(1), (6, 10))
+        ref = x
+        for f, w in zip(fns, params):
+            ref = f(w, ref)
+        buf, meta = shard_stage_params(params, mesh)
+        got = pipeline_apply(fns, mesh, x, n_microbatches=3,
+                             packed_params=buf, params_meta=meta)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
+
+    def test_weight_memory_is_sharded(self):
+        """Per-device param bytes ~ 1/S: each device holds exactly one row."""
+        mesh = make_mesh(jax.devices()[:4], ("stage",), (4,))
+        params = _stage_weights(jax.random.PRNGKey(0), dims=(16, 16, 16, 16, 16))
+        buf, meta = shard_stage_params(params, mesh)
+        assert buf.shape == (4, 256)
+        for shard in buf.addressable_shards:
+            assert shard.data.shape == (1, 256)  # 1/S of the buffer
+        # rows land on distinct devices
+        devs = {s.device for s in buf.addressable_shards}
+        assert len(devs) == 4
+
+    def test_grads_match_sequential(self):
+        """Training on the packed buffer: d(loss)/d(buf) equals the packed
+        sequential gradients — PP training with 1/S weight memory."""
+        mesh = make_mesh(jax.devices()[:3], ("stage",), (3,))
+        params = _stage_weights(jax.random.PRNGKey(0))
+        fns = [lambda w, a: jnp.tanh(a @ w)] * len(params)
+        x = jax.random.normal(jax.random.PRNGKey(1), (6, 10))
+        targ = jax.random.normal(jax.random.PRNGKey(2), (6, 4))
+        buf, meta = shard_stage_params(params, mesh)
+
+        def loss_pp(b):
+            out = pipeline_apply(fns, mesh, x, n_microbatches=3,
+                                 packed_params=b, params_meta=meta)
+            return jnp.mean((out - targ) ** 2)
+
+        def loss_seq(ws):
+            a = x
+            for f, w in zip(fns, ws):
+                a = f(w, a)
+            return jnp.mean((a - targ) ** 2)
+
+        l_pp, g_pp = jax.value_and_grad(loss_pp)(buf)
+        l_seq, g_seq = jax.value_and_grad(loss_seq)(params)
+        g_seq_packed, _ = pack_stage_params(g_seq)
+        np.testing.assert_allclose(float(l_pp), float(l_seq), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_pp),
+                                   np.asarray(g_seq_packed), atol=1e-6)
+        # the gradient buffer inherits the 1/S sharding
+        assert all(s.data.shape[0] == 1 for s in g_pp.addressable_shards)
+
+    def test_validation(self):
+        mesh = make_mesh(jax.devices()[:2], ("stage",), (2,))
+        fns = [lambda w, a: a + w] * 2
+        buf, meta = pack_stage_params([jnp.zeros(()), jnp.zeros(())])
+        with pytest.raises(ValueError, match="params_meta"):
+            pipeline_apply(fns, mesh, jnp.zeros((2, 3)), 1,
+                           packed_params=buf)
+        with pytest.raises(ValueError, match="not both"):
+            pipeline_apply(fns, mesh, jnp.zeros((2, 3)), 1,
+                           packed_params=buf, params_meta=meta,
+                           stage_params=[jnp.zeros(())] * 2)
+
+
+class TestDataPipelineMesh:
+    """dp x pp on a 2-D ('data', 'stage') mesh."""
+
+    def test_forward_and_grads_match_sequential(self):
+        mesh = make_mesh(jax.devices()[:8], ("data", "stage"), (2, 4))
+        params = _stage_weights(jax.random.PRNGKey(0), dims=(10, 8, 6, 4, 5))
+        fns = [lambda w, a: jnp.tanh(a @ w)] * len(params)
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, 10))
+        targ = jax.random.normal(jax.random.PRNGKey(2), (8, 5))
+        buf, meta = shard_stage_params(params, mesh)
+
+        def loss_pp(b, xb):
+            out = pipeline_apply(fns, mesh, xb, n_microbatches=2,
+                                 packed_params=b, params_meta=meta,
+                                 data_axis="data")
+            return jnp.mean((out - targ) ** 2)
+
+        def loss_seq(ws, xb):
+            a = xb
+            for f, w in zip(fns, ws):
+                a = f(w, a)
+            return jnp.mean((a - targ) ** 2)
+
+        (l_pp, g_pp) = jax.value_and_grad(loss_pp)(buf, x)
+        (l_seq, g_seq) = jax.value_and_grad(loss_seq)(params, x)
+        g_seq_packed, _ = pack_stage_params(g_seq)
+        np.testing.assert_allclose(float(l_pp), float(l_seq), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_pp),
+                                   np.asarray(g_seq_packed), atol=1e-6)
+
+    def test_micro_not_divisible_by_data_axis(self):
+        mesh = make_mesh(jax.devices()[:8], ("data", "stage"), (2, 4))
+        fns = [lambda a: a] * 4
+        with pytest.raises(ValueError, match="data axis"):
+            pipeline_apply(fns, mesh, jnp.zeros((6, 4)), 2,
+                           data_axis="data")
 
 
 class TestPipelineEdges:

@@ -102,19 +102,27 @@ def main():
     x1 = jax.random.normal(rng, (1, T, H, W, 3), jnp.float32)
     baseline = time_forward(fwd32, var32, x1, BS1_ITERS, WARMUP)
 
-    # optimized serving path: int8 PTQ trunk (BN-folded per-channel weights,
-    # dynamic activation scales — models/quant.py, exposed as eval CLI
-    # `--quantize int8`), large batched launch. Accuracy bounds are pinned in
-    # tests/test_quant.py; bf16 comparison lives in scripts/bench_quant.py
-    # (int8 ~1.23x bf16 on this chip, PERF.md round 2).
+    # optimized serving path: int8 PTQ trunk with CALIBRATED static
+    # activation scales + int8 fc_feat head (models/quant.py; eval CLI
+    # `--quantize int8 --calibrate N --quantize_heads`), large batched
+    # launch. Static scales remove the per-conv activation absmax reduction
+    # the dynamic scheme pays — measured 15.1k vs 12.1k img/s (1.54x vs
+    # 1.23x over bf16) on this chip, round 3. Accuracy bounds are pinned in
+    # tests/test_quant.py; the full mode ladder lives in
+    # scripts/bench_quant.py.
     from geomapnet_tpu.models.quant import (
+        calibrate_activation_scales,
         mapnet_apply_int8,
         quantize_posenet_variables,
     )
 
-    qtree = jax.device_put(quantize_posenet_variables(
-        {"params": var32["params"], "batch_stats": var32["batch_stats"]}
-    ))
+    qtree = quantize_posenet_variables(
+        {"params": var32["params"], "batch_stats": var32["batch_stats"]},
+        quantize_heads=True,
+    )
+    calib = jax.random.normal(
+        jax.random.PRNGKey(7), (8, T, H, W, 3), jnp.bfloat16)
+    qtree = jax.device_put(calibrate_activation_scales(qtree, [calib]))
 
     def qfwd(params, stats, images):
         return mapnet_apply_int8(qtree, images)
@@ -127,7 +135,7 @@ def main():
         "value": round(optimized, 1),
         "unit": "images/sec",
         "vs_baseline": round(optimized / baseline, 2),
-        "mode": "int8_ptq_batch%d" % BATCH_TUPLES,
+        "mode": "int8_static_calibrated_batch%d" % BATCH_TUPLES,
     }))
 
 

@@ -198,8 +198,16 @@ def build_frame_dataset(
     asset_root: str = "data",
     vo_lib: str | None = None,
     raw_bayer: bool = False,
+    native_loader: bool = False,
 ):
-    """Construct one frame dataset by name."""
+    """Construct one frame dataset by name.
+
+    ``native_loader`` routes color decode+resize through the C++ batch
+    decoder (:mod:`geomapnet_tpu.native`: io_uring/pread batch reads,
+    libjpeg/libpng with the GIL released, thread-pooled, fused bilinear
+    resize) — the host-side counterpart of the device pipeline for
+    end-to-end eval throughput (scripts/bench_e2e.py).
+    """
     if dataset == "synth":
         return SyntheticScene(
             n_frames=64, height=64, width=96, train=train, real=real,
@@ -213,6 +221,7 @@ def build_frame_dataset(
             transform=transform, seed=config.seed, real=real,
             skip_images=skip_images, vo_lib=vo_lib or config.vo_lib,
             asset_dir=str(Path(asset_root) / "7Scenes"),
+            use_native=native_loader,
         )
     if dataset == "RobotCar":
         from ..data.robotcar import RobotCar
@@ -223,6 +232,7 @@ def build_frame_dataset(
             real=real, skip_images=skip_images, vo_lib=vo_lib or "stereo",
             asset_dir=str(Path(asset_root) / "RobotCar"),
             raw_bayer=raw_bayer,
+            use_native=native_loader and not raw_bayer,
         )
     raise ValueError(f"unknown dataset {dataset}")
 
@@ -236,6 +246,7 @@ def build_datasets(
     asset_root: str = "data",
     keep_uint8: bool = False,
     raw_bayer: bool = False,
+    native_loader: bool = False,
 ):
     """(train_set, val_set) for a model family, mirroring
     /root/reference/scripts/train.py:131-156."""
@@ -248,7 +259,7 @@ def build_datasets(
         return build_frame_dataset(
             dataset, scene, data_path, train, config, transform=transform,
             real=real, skip_images=skip_images, asset_root=asset_root,
-            vo_lib=vo_lib, raw_bayer=raw_bayer,
+            vo_lib=vo_lib, raw_bayer=raw_bayer, native_loader=native_loader,
         )
 
     if model_name == "posenet":

@@ -376,6 +376,11 @@ def main(argv=None):
     )
     parser.add_argument("--camera_models_dir", type=str, default=None)
     parser.add_argument(
+        "--native_loader", action="store_true",
+        help="decode+resize images with the C++ batch decoder "
+        "(geomapnet_tpu.native) instead of PIL — the fast host IO path",
+    )
+    parser.add_argument(
         "--quantize", choices=["int8"], default=None,
         help="run the trunk with int8 PTQ inference (models/quant.py)",
     )
@@ -460,6 +465,7 @@ def main(argv=None):
         asset_root=args.asset_root,
         vo_lib=config.vo_lib if args.pose_graph else None,
         raw_bayer=args.raw_bayer,
+        native_loader=args.native_loader,
     )
     if use_tuples:
         gt_frames = None

@@ -83,6 +83,11 @@ def main(argv=None):
         help="RobotCar camera model dir for on-device undistortion with "
         "--raw_bayer (omit to skip undistortion)",
     )
+    parser.add_argument(
+        "--native_loader", action="store_true",
+        help="decode+resize images with the C++ batch decoder "
+        "(geomapnet_tpu.native) instead of PIL — the fast host IO path",
+    )
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a JAX profiler trace of early batches")
     parser.add_argument("--debug_nans", action="store_true",
@@ -137,6 +142,7 @@ def main(argv=None):
         asset_root=args.asset_root,
         keep_uint8=preprocess is not None and not args.raw_bayer,
         raw_bayer=args.raw_bayer,
+        native_loader=args.native_loader,
     )
 
     name = experiment_name(

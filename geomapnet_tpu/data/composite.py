@@ -98,13 +98,23 @@ class MF:
     def fetch_many(self, indices, num_workers: int = 4) -> list:
         """Batched fetch: frame images for ALL requested tuples resolve in
         one ``get_images`` call on the base dataset (one native decode_batch
-        across the whole loader batch) when available."""
+        across the whole loader batch) when available.
+
+        Frame indices are DEDUPLICATED before decoding: consecutive tuples
+        overlap (each frame belongs to up to ``steps`` tuples), so a batch of
+        B tuples touches ~B + (steps-1)*skip unique frames but B*steps tuple
+        slots — decoding unique frames once cuts host decode work by up to
+        ``steps``x (~3x for eval batches, ~6x+ for steps=7 PGO windows; the
+        host PNG decode is the end-to-end eval bottleneck on a 1-core host,
+        scripts/bench_e2e.py)."""
         tuple_idx = [self.get_indices(i) for i in indices]
         flat = np.concatenate(tuple_idx) if tuple_idx else np.empty(0, int)
+        uniq, inverse = np.unique(flat, return_inverse=True)
         if hasattr(self.dset, "get_images"):
-            flat_imgs = self.dset.get_images(flat, num_workers=num_workers)
+            uniq_imgs = self.dset.get_images(uniq, num_workers=num_workers)
         else:
-            flat_imgs = [self.dset.get_image(i) for i in flat]
+            uniq_imgs = [self.dset.get_image(i) for i in uniq]
+        flat_imgs = [uniq_imgs[j] for j in inverse]
         out, k = [], 0
         for idx in tuple_idx:
             imgs = flat_imgs[k:k + len(idx)]

@@ -142,6 +142,11 @@ class ImageTransform:
     def __call__(self, img) -> np.ndarray:
         if isinstance(img, np.ndarray):
             # already decoded+resized (e.g. by the native loader)
+            if (img.dtype == np.uint8 and img.ndim == 3 and self.keep_uint8
+                    and self.color_jitter_strength == 0):
+                # native-loader fast path: uint8 in, uint8 out, nothing to
+                # do — skip the float round-trip entirely
+                return img
             arr = np.asarray(img, dtype=np.float32)
             if arr.ndim == 2:
                 arr = np.stack([arr] * 3, axis=-1)

@@ -343,6 +343,45 @@ class TestMFFetchMany:
         list(Loader(mf, 4, drop_last=True, num_workers=2))
         assert calls and all(len(c) == 4 for c in calls)
 
+    def test_overlapping_frames_decoded_once(self):
+        """Consecutive tuples share frames; fetch_many must decode each
+        unique frame ONCE per batch (the e2e-eval host-decode lever)."""
+        mf = self._mf()  # steps=3, skip=2: tuples i use {i-2, i, i+2}
+        fetched = []
+        orig_get = mf.dset.get_image
+
+        def spy(i):
+            fetched.append(int(i))
+            return orig_get(i)
+
+        mf.dset.get_image = spy  # type: ignore[assignment]
+        batched = mf.fetch_many(list(range(4, 12)))  # 8 tuples, 24 slots
+        assert len(fetched) == len(set(fetched))  # no frame decoded twice
+        assert len(fetched) < 8 * 3  # dedup actually collapsed overlap
+        # outputs still exactly match per-tuple fetches
+        for i, (imgs, poses) in zip(range(4, 12), batched):
+            ei, ep = mf[i]
+            np.testing.assert_array_equal(imgs, ei)
+            np.testing.assert_array_equal(poses, ep)
+
+    def test_corrupt_unique_frame_nulls_its_tuples(self):
+        """A frame that fails to decode must None every tuple containing it
+        (the Loader then substitutes forward), even via the dedup path."""
+        mf = self._mf()
+        orig_get = mf.dset.get_image
+
+        def flaky(i):
+            return None if int(i) == 6 else orig_get(i)
+
+        mf.dset.get_image = flaky  # type: ignore[assignment]
+        batched = mf.fetch_many(list(range(4, 10)))
+        # frame 6 appears in tuples 4 (6=4+2), 6, and 8 (6=8-2)
+        for i, (imgs, _) in zip(range(4, 10), batched):
+            if i in (4, 6, 8):
+                assert imgs is None, i
+            else:
+                assert imgs is not None, i
+
 
 class TestDeterministicIndices:
     """variable_skip eval safety: get_indices(i) must be a pure function of

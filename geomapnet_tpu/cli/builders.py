@@ -199,6 +199,7 @@ def build_frame_dataset(
     vo_lib: str | None = None,
     raw_bayer: bool = False,
     native_loader: bool = False,
+    cache_gb: float = 0.0,
 ):
     """Construct one frame dataset by name.
 
@@ -207,7 +208,31 @@ def build_frame_dataset(
     libjpeg/libpng with the GIL released, thread-pooled, fused bilinear
     resize) — the host-side counterpart of the device pipeline for
     end-to-end eval throughput (scripts/bench_e2e.py).
+
+    ``cache_gb`` wraps the on-disk datasets in a decoded-frame RAM cache
+    (:class:`~geomapnet_tpu.data.CachedScene`): image decode — the
+    end-to-end bottleneck — is paid once, and every later epoch runs at
+    memory speed. Skipped with a warning when the transform jitters
+    (RobotCar training with color_jitter: caching would freeze one draw).
     """
+    built = _build_frame_dataset(
+        dataset, scene, data_path, train, config, transform, real,
+        skip_images, asset_root, vo_lib, raw_bayer, native_loader,
+    )
+    if cache_gb > 0 and dataset != "synth" and not skip_images:
+        from ..data import CachedScene
+
+        try:
+            built = CachedScene(built, max_bytes=int(cache_gb * 1024 ** 3))
+        except ValueError as e:
+            print(f"frame cache disabled for this split: {e}")
+    return built
+
+
+def _build_frame_dataset(
+    dataset, scene, data_path, train, config, transform, real,
+    skip_images, asset_root, vo_lib, raw_bayer, native_loader,
+):
     if dataset == "synth":
         return SyntheticScene(
             n_frames=64, height=64, width=96, train=train, real=real,
@@ -247,9 +272,11 @@ def build_datasets(
     keep_uint8: bool = False,
     raw_bayer: bool = False,
     native_loader: bool = False,
+    cache_gb: float = 0.0,
 ):
     """(train_set, val_set) for a model family, mirroring
-    /root/reference/scripts/train.py:131-156."""
+    /root/reference/scripts/train.py:131-156. ``cache_gb`` is a per-split
+    decoded-frame RAM budget (see :func:`build_frame_dataset`)."""
     tf_train = build_transform(dataset, scene, config, asset_root, train=True,
                                seed=config.seed, keep_uint8=keep_uint8)
     tf_val = build_transform(dataset, scene, config, asset_root, train=False,
@@ -260,6 +287,7 @@ def build_datasets(
             dataset, scene, data_path, train, config, transform=transform,
             real=real, skip_images=skip_images, asset_root=asset_root,
             vo_lib=vo_lib, raw_bayer=raw_bayer, native_loader=native_loader,
+            cache_gb=cache_gb,
         )
 
     if model_name == "posenet":

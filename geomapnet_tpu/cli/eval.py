@@ -381,6 +381,11 @@ def main(argv=None):
         "(geomapnet_tpu.native) instead of PIL — the fast host IO path",
     )
     parser.add_argument(
+        "--cache_frames", type=float, default=0.0, metavar="GB",
+        help="decoded-frame RAM cache: repeated eval passes (e.g. PGO "
+        "sweeps) decode each frame once",
+    )
+    parser.add_argument(
         "--quantize", choices=["int8"], default=None,
         help="run the trunk with int8 PTQ inference (models/quant.py)",
     )
@@ -466,6 +471,7 @@ def main(argv=None):
         vo_lib=config.vo_lib if args.pose_graph else None,
         raw_bayer=args.raw_bayer,
         native_loader=args.native_loader,
+        cache_gb=args.cache_frames,
     )
     if use_tuples:
         gt_frames = None

@@ -88,6 +88,11 @@ def main(argv=None):
         help="decode+resize images with the C++ batch decoder "
         "(geomapnet_tpu.native) instead of PIL — the fast host IO path",
     )
+    parser.add_argument(
+        "--cache_frames", type=float, default=0.0, metavar="GB",
+        help="decoded-frame RAM cache per split: decode is paid once, "
+        "epoch 2+ loads at memory speed (skipped for jittered transforms)",
+    )
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a JAX profiler trace of early batches")
     parser.add_argument("--debug_nans", action="store_true",
@@ -143,6 +148,7 @@ def main(argv=None):
         keep_uint8=preprocess is not None and not args.raw_bayer,
         raw_bayer=args.raw_bayer,
         native_loader=args.native_loader,
+        cache_gb=args.cache_frames,
     )
 
     name = experiment_name(

@@ -1,6 +1,7 @@
 """Data layer: frame datasets, tuple samplers, loaders, host transforms."""
 
 from .tuples import TupleSampler
+from .cache import CachedScene
 from .composite import MF, MFOnline, OnlyPoses
 from .loader import Loader
 from .synthetic import SyntheticScene, make_split_pair

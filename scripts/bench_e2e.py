@@ -205,6 +205,30 @@ def main():
                       round(min(1.0, res["images_per_sec"] / dec), 3),
                       }), flush=True)
 
+    # 4) decoded-frame RAM cache (data/cache.py, cli --cache_frames):
+    #    epoch 1 pays PNG decode once, epoch 2+ serves resized uint8 from
+    #    memory — the steady-state number for any multi-epoch loop (training,
+    #    PGO sweeps, repeated eval)
+    from geomapnet_tpu.data import CachedScene
+
+    cached = CachedScene(frames, max_bytes=2 * 1024 ** 3)
+    ds_c = MF(cached, steps=config.steps, skip=config.skip, seed=7)
+    t0 = time.perf_counter()
+    evaluate(model, state, ds_c, batch_size=args.batch,
+             preprocess=preprocess, progress=False,
+             num_workers=args.workers, quantize=args.quantize)
+    cold_s = time.perf_counter() - t0
+    res_c = evaluate(model, state, ds_c, batch_size=args.batch,
+                     preprocess=preprocess, progress=False,
+                     num_workers=args.workers, quantize=args.quantize)
+    total = cached.hits + cached.misses
+    print(json.dumps({"stage": "e2e_cached_epoch2",
+                      "images_per_sec": round(res_c["images_per_sec"], 1),
+                      "first_epoch_secs": round(cold_s, 1),
+                      "cache_hit_rate": round(cached.hits / total, 3),
+                      "cached_mb": round(cached.cached_bytes / 2 ** 20, 1),
+                      }), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -413,3 +413,122 @@ class TestDeterministicIndices:
             _, poses = mf[i]
             idx = mf.get_indices(i)
             np.testing.assert_array_equal(poses, mf.dset.poses[idx])
+
+
+class TestCachedScene:
+    """Decoded-frame RAM cache (data/cache.py): decode paid once, budget
+    honored, stochastic transforms refused, dataset surface delegated."""
+
+    class Counting:
+        """Minimal scene: counts decodes, 3 KB per frame."""
+
+        def __init__(self, n=8):
+            self.n = n
+            self.decodes = 0
+            self.poses = np.arange(n * 6, dtype=np.float64).reshape(n, 6)
+            self.transform = None
+            self.target_transform = None
+
+        def __len__(self):
+            return self.n
+
+        def get_image(self, index):
+            return self.get_images([index])[0]
+
+        def get_images(self, indices, num_workers=1):
+            self.decodes += len(indices)
+            return [np.full((32, 32, 3), i, np.uint8) for i in indices]
+
+    def test_second_epoch_is_free(self):
+        from geomapnet_tpu.data import CachedScene
+
+        inner = self.Counting()
+        ds = CachedScene(inner, max_bytes=10 * 1024 ** 2)
+        first = ds.get_images(list(range(8)))
+        assert inner.decodes == 8
+        again = ds.get_images(list(range(8)))
+        assert inner.decodes == 8  # all hits
+        for a, b in zip(first, again):
+            np.testing.assert_array_equal(a, b)
+        assert ds.hits == 8 and ds.misses == 8
+
+    def test_budget_honored_pass_through(self):
+        from geomapnet_tpu.data import CachedScene
+
+        inner = self.Counting()
+        frame_bytes = 32 * 32 * 3
+        ds = CachedScene(inner, max_bytes=3 * frame_bytes)
+        ds.get_images(list(range(8)))
+        assert ds.cached_frames == 3
+        assert ds.cached_bytes <= 3 * frame_bytes
+        ds.get_images(list(range(8)))
+        # 3 hits, 5 re-decodes
+        assert inner.decodes == 8 + 5
+
+    def test_entries_frozen(self):
+        from geomapnet_tpu.data import CachedScene
+
+        ds = CachedScene(self.Counting(), max_bytes=10 * 1024 ** 2)
+        img = ds.get_image(0)
+        with pytest.raises(ValueError):
+            img[0, 0, 0] = 99
+
+    def test_duplicate_indices_one_decode(self):
+        from geomapnet_tpu.data import CachedScene
+
+        inner = self.Counting()
+        ds = CachedScene(inner, max_bytes=10 * 1024 ** 2)
+        out = ds.get_images([2, 2, 5, 2])
+        assert inner.decodes == 2
+        assert [int(o[0, 0, 0]) for o in out] == [2, 2, 5, 2]
+
+    def test_refuses_jittered_transform(self):
+        from geomapnet_tpu.data import CachedScene
+
+        inner = self.Counting()
+
+        class Jitter:
+            color_jitter_strength = 0.5
+
+        inner.transform = Jitter()
+        with pytest.raises(ValueError, match="jitter"):
+            CachedScene(inner, max_bytes=1024)
+
+    def test_failed_decode_not_cached(self):
+        from geomapnet_tpu.data import CachedScene
+
+        inner = self.Counting()
+        orig = inner.get_images
+
+        def flaky(indices, num_workers=1):
+            out = orig(indices, num_workers)
+            return [None if i == 3 else s for i, s in zip(indices, out)]
+
+        inner.get_images = flaky
+        ds = CachedScene(inner, max_bytes=10 * 1024 ** 2)
+        assert ds.get_images([3])[0] is None
+        assert ds.cached_frames == 0
+        assert ds.get_images([3])[0] is None  # re-attempted, not memoized
+
+    def test_delegates_surface_and_getitem(self):
+        from geomapnet_tpu.data import CachedScene
+
+        inner = self.Counting()
+        inner.target_transform = lambda p: p * 2
+        ds = CachedScene(inner, max_bytes=10 * 1024 ** 2)
+        assert len(ds) == 8
+        np.testing.assert_array_equal(ds.poses, inner.poses)
+        img, pose = ds[1]
+        assert int(img[0, 0, 0]) == 1
+        np.testing.assert_array_equal(pose, inner.poses[1] * 2)
+
+    def test_mf_composite_over_cache(self):
+        from geomapnet_tpu.data import CachedScene
+
+        scene = SyntheticScene(n_frames=24, height=8, width=8)
+        cached = CachedScene(scene, max_bytes=64 * 1024 ** 2)
+        mf = MF(cached, steps=3, skip=2)
+        imgs, poses = mf[4]
+        imgs2, poses2 = mf[4]
+        np.testing.assert_array_equal(np.asarray(imgs), np.asarray(imgs2))
+        np.testing.assert_array_equal(poses, poses2)

@@ -93,6 +93,12 @@ def main(argv=None):
         help="decoded-frame RAM cache per split: decode is paid once, "
         "epoch 2+ loads at memory speed (skipped for jittered transforms)",
     )
+    parser.add_argument(
+        "--device_cache", action="store_true",
+        help="upload each split's frames to HBM once and feed training by "
+        "on-device index gather: no host decode or image transfer after "
+        "the first epoch (single-process, single-device)",
+    )
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a JAX profiler trace of early batches")
     parser.add_argument("--debug_nans", action="store_true",
@@ -172,6 +178,7 @@ def main(argv=None):
         # `visdom = yes` in reference .ini files maps to the TensorBoard
         # writer — the live-dashboard equivalent here
         tensorboard=args.tensorboard or config.visdom,
+        device_cache=args.device_cache,
     )
 
     if args.pretrained_npz and checkpoint is not None:

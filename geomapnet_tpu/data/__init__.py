@@ -2,6 +2,7 @@
 
 from .tuples import TupleSampler
 from .cache import CachedScene
+from .device_cache import upload_frames
 from .composite import MF, MFOnline, OnlyPoses
 from .loader import Loader
 from .synthetic import SyntheticScene, make_split_pair

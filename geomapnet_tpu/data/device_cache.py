@@ -1,0 +1,129 @@
+"""Device-resident frame cache: the whole scene lives in HBM as uint8.
+
+Measured motivation (PERF.md "device-resident frames"): once host decode is
+cached (:class:`~geomapnet_tpu.data.CachedScene`), the end-to-end eval wall
+is the host->device transfer itself — every epoch re-uploads every frame
+(~0.25 MB/frame resized uint8; the development tunnel moves ~60 MB/s, and
+even a co-located PCIe host spends real bandwidth on it). A resized-uint8
+7Scenes scene is 0.25–1.8 GB: it FITS in HBM next to the model. So upload
+each decoded frame ONCE; afterwards a batch is a (B, T) int32 index array
+(a few KB) and the frame gather runs on device at HBM speed.
+
+The reference has no analog — its DataLoader re-decodes and re-uploads per
+epoch (/root/reference/common/train.py:180-188); this is a TPU-first design
+choice enabled by fixed frame shapes and HBM capacity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .loader import Loader
+
+__all__ = ["upload_frames", "IndexLoader"]
+
+
+def upload_frames(
+    frames,
+    chunk: int = 192,
+    num_workers: int = 4,
+    max_bytes: int = 8 * 1024 ** 3,
+):
+    """Decode and upload every frame of a frame dataset, once, in chunks.
+
+    :param frames: frame dataset (``SevenScenes`` / ``RobotCar`` /
+        ``CachedScene`` wrapper / synthetic) exposing ``get_image`` /
+        ``get_images``; its transform must yield fixed-shape single arrays
+        (the device-pipeline uint8 path or host-normalized float path —
+        mode-2 ``[color, depth]`` lists are not representable as one buffer)
+    :param chunk: frames per decode+upload slice (bounds peak host memory
+        and keeps transfers overlappable)
+    :param max_bytes: refuse datasets whose frame stack would exceed this
+        (HBM safety; a 256x341 uint8 frame is 262 KB — 8 GB holds ~30k)
+    :returns: ``(N, H, W, C)`` device array in the frames' own dtype
+    :raises ValueError: on oversize datasets or non-array frames
+    """
+    n = len(frames)
+    if n == 0:
+        raise ValueError("empty frame dataset")
+    probe = frames.get_image(0)
+    if probe is None or not isinstance(probe, np.ndarray):
+        raise ValueError(
+            "device frame cache needs fixed-shape array frames "
+            f"(got {type(probe).__name__}; mode-2 [color, depth] datasets "
+            "and skip_images datasets are not supported)"
+        )
+    total = n * probe.nbytes
+    if total > max_bytes:
+        raise ValueError(
+            f"frame stack is {total / 2**30:.2f} GiB "
+            f"({n} x {probe.nbytes / 2**20:.2f} MiB) > max_bytes "
+            f"{max_bytes / 2**30:.2f} GiB"
+        )
+
+    chunks = []
+    last_good = probe
+    n_bad = 0
+    for s in range(0, n, chunk):
+        idx = list(range(s, min(n, s + chunk)))
+        if hasattr(frames, "get_images"):
+            imgs = frames.get_images(idx, num_workers=num_workers)
+        else:
+            imgs = [frames.get_image(i) for i in idx]
+        fixed = []
+        for im in imgs:
+            if im is None:  # corrupt frame: substitute the previous good
+                n_bad += 1  # one (mirrors the loader's skip-substitute)
+                im = last_good
+            else:
+                last_good = im
+            fixed.append(im)
+        # jnp.asarray dispatches the host->device copy; chunks overlap with
+        # the next slice's decode
+        chunks.append(jnp.asarray(np.stack(fixed)))
+    if n_bad:
+        print(f"device frame cache: {n_bad}/{n} frames failed to decode; "
+              "substituted neighboring frames")
+    return jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+
+
+class IndexLoader(Loader):
+    """Loader twin for the device frame cache: yields
+    ``(frame_indices, poses, n_padded)`` instead of decoded images.
+
+    Inherits Loader's sampling order, shuffling, padding, process sharding
+    and background prefetch unchanged — only the batch payload differs:
+    ``frame_indices`` is int32 ``(B, T)`` for tuple (MF) datasets or ``(B,)``
+    for plain frame datasets, ready to gather from the HBM buffer built by
+    :func:`upload_frames` (``buf[frame_indices]`` inside the jit'd step).
+    Poses are assembled exactly as the image path would (MF's pose/VO block,
+    or the frame dataset's target-transformed pose) — only the host decode
+    and the per-batch image transfer disappear.
+    """
+
+    def _make_batch(self, idx: np.ndarray, pad: int):
+        ds = self.dataset
+        if hasattr(ds, "get_indices"):  # tuple (MF) dataset
+            rows = [ds.get_indices(int(i)) for i in idx]
+            poses = np.stack(
+                [ds._poses_for(r).astype(np.float32) for r in rows])
+            frame_idx = np.stack(rows).astype(np.int32)
+        else:  # plain frame dataset
+            tt = getattr(ds, "target_transform", None)
+            poses = np.stack([
+                np.asarray(
+                    tt(ds.poses[int(i)]) if tt is not None
+                    else ds.poses[int(i)],
+                    np.float32,
+                )
+                for i in idx
+            ])
+            frame_idx = np.asarray(idx, np.int32)
+        if pad:
+            frame_idx = np.concatenate(
+                [frame_idx, np.repeat(frame_idx[-1:], pad, axis=0)])
+            poses = np.concatenate(
+                [poses, np.repeat(poses[-1:], pad, axis=0)])
+        return frame_idx, poses, pad

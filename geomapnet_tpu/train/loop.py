@@ -24,6 +24,7 @@ from pathlib import Path
 import jax
 import numpy as np
 
+from ..data.device_cache import IndexLoader
 from ..data.loader import Loader
 from ..parallel.mesh import make_mesh, shard_batch, shard_step
 from ..parallel.multihost import local_batch_size, make_global_batch
@@ -53,6 +54,11 @@ class Trainer:
     :param accum_steps: gradient-accumulation microbatches per optimizer
         step (see :func:`geomapnet_tpu.train.make_train_step`); batch_size
         stays the effective batch
+    :param device_cache: upload each split's frames to HBM once and feed
+        the train/eval steps by on-device index gather
+        (:mod:`geomapnet_tpu.data.device_cache`) — removes host decode AND
+        the per-batch image transfer from every epoch after the first;
+        single-process, single-device (falls back with a note otherwise)
     """
 
     def __init__(
@@ -73,6 +79,7 @@ class Trainer:
         preprocess=None,
         tensorboard: bool = False,
         accum_steps: int = 1,
+        device_cache: bool = False,
     ):
         self.model = model
         self.config = config
@@ -113,17 +120,35 @@ class Trainer:
                   f"local batch {local_bs}")
         print("---------------------------------------")
 
+        if device_cache and self.process_count > 1:
+            print("trainer: device_cache is single-process; using the "
+                  "loader path")
+            device_cache = False
+        if device_cache:
+            # cached frames are post-transform: a stochastic host jitter
+            # (RobotCar color_jitter) would freeze one draw for all epochs
+            src = (train_dataset.dset if hasattr(train_dataset, "dset")
+                   else train_dataset)
+            jitter = getattr(getattr(src, "transform", None),
+                             "color_jitter_strength", 0)
+            if jitter:
+                print(f"trainer: device_cache disabled — the train "
+                      f"transform jitters (color_jitter_strength={jitter})")
+                device_cache = False
+        self.device_cache = device_cache
+
         loader_kwargs = dict(
             process_index=self.process_index, process_count=self.process_count,
             num_workers=config.num_workers,
         )
-        self.train_loader = Loader(
+        loader_cls = IndexLoader if device_cache else Loader
+        self.train_loader = loader_cls(
             train_dataset, local_bs, shuffle=config.shuffle,
             drop_last=True, seed=config.seed, **loader_kwargs,
         )
         self.val_loader = (
-            Loader(val_dataset, local_bs, shuffle=False,
-                   drop_last=False, seed=config.seed, **loader_kwargs)
+            loader_cls(val_dataset, local_bs, shuffle=False,
+                       drop_last=False, seed=config.seed, **loader_kwargs)
             if (config.do_val and val_dataset is not None) else None
         )
 
@@ -166,12 +191,50 @@ class Trainer:
         self.mesh = (
             make_mesh() if (use_mesh or self.process_count > 1) else None
         )
+        if self.device_cache and self.mesh is not None \
+                and self.mesh.devices.size > 1:
+            print("trainer: device_cache runs single-device; ignoring "
+                  "the mesh")
+            self.mesh = None
         train_step = make_train_step(model, train_criterion, self.tx,
                                      preprocess=preprocess,
                                      accum_steps=accum_steps)
         eval_step = make_eval_step(model, self.val_criterion,
                                    preprocess=preprocess)
-        if self.mesh is not None and self.mesh.devices.size > 1:
+        if self.device_cache:
+            # frames live in HBM; steps gather by index (images arg becomes
+            # an int32 index array). The buffer rides as an explicit jit
+            # argument — closing over it would bake 100s of MB into the
+            # jaxpr as a constant.
+            from ..data.device_cache import upload_frames
+
+            def _src(ds):
+                return ds.dset if hasattr(ds, "dset") else ds
+
+            self._train_frames = upload_frames(
+                _src(train_dataset), num_workers=config.num_workers)
+            self._val_frames = (
+                self._train_frames
+                if (self.val_loader is not None
+                    and _src(val_dataset) is _src(train_dataset))
+                else upload_frames(_src(val_dataset),
+                                   num_workers=config.num_workers)
+                if self.val_loader is not None else None
+            )
+
+            _ts = jax.jit(
+                lambda s, idx, poses, rng, buf: train_step(
+                    s, buf[idx], poses, rng),
+                donate_argnums=(0,),
+            )
+            _es = jax.jit(
+                lambda s, idx, poses, buf: eval_step(s, buf[idx], poses))
+            self._train_step = (
+                lambda s, idx, poses, rng: _ts(s, idx, poses, rng,
+                                               self._train_frames))
+            self._eval_step = (
+                lambda s, idx, poses: _es(s, idx, poses, self._val_frames))
+        elif self.mesh is not None and self.mesh.devices.size > 1:
             self._train_step = shard_step(
                 train_step, self.mesh, n_batch_args=2, n_replicated_args=1,
                 donate_state=True,

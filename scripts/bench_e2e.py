@@ -229,6 +229,25 @@ def main():
                       "cached_mb": round(cached.cached_bytes / 2 ** 20, 1),
                       }), flush=True)
 
+    # 5) device-resident frames (--device_cache): one upload, then batches
+    #    are int32 index gathers — the per-batch host->device image
+    #    transfer (the epoch-2 wall on this rig: ~60 MB/s tunnel)
+    #    disappears. Second call reuses the returned buffer.
+    res_d = evaluate(model, state, ds_c, batch_size=args.batch,
+                     preprocess=preprocess, progress=False,
+                     num_workers=args.workers, quantize=args.quantize,
+                     device_cache=True)
+    res_d2 = evaluate(model, state, ds_c, batch_size=args.batch,
+                      preprocess=preprocess, progress=False,
+                      num_workers=args.workers, quantize=args.quantize,
+                      device_cache=res_d["device_frames"])
+    print(json.dumps({"stage": "e2e_device_cached",
+                      "images_per_sec": round(res_d2["images_per_sec"], 1),
+                      "upload_secs": round(res_d["upload_secs"], 1),
+                      "buffer_mb": round(
+                          res_d["device_frames"].nbytes / 2 ** 20, 1),
+                      }), flush=True)
+
 
 if __name__ == "__main__":
     main()

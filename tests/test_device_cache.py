@@ -1,0 +1,126 @@
+"""Device-resident frame cache (data/device_cache.py + eval --device_cache):
+frames upload to HBM once, batches become on-device index gathers. The
+contract: identical predictions to the loader path, upload chunking exact,
+HBM budget enforced, buffer reuse across calls."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from geomapnet_tpu.cli.eval import evaluate
+from geomapnet_tpu.data import MF, SyntheticScene, upload_frames
+from geomapnet_tpu.losses import MapNetCriterion, PoseNetCriterion
+from geomapnet_tpu.models import MapNet, PoseNet, resnet18
+from geomapnet_tpu.train import create_train_state, make_optimizer
+
+
+class TestUploadFrames:
+    def test_chunked_upload_matches_frames(self):
+        ds = SyntheticScene(n_frames=11, height=16, width=24)
+        buf = upload_frames(ds, chunk=4)
+        assert buf.shape == (11, 16, 24, 3)
+        want = np.stack([ds.get_image(i) for i in range(11)])
+        np.testing.assert_array_equal(np.asarray(buf), want)
+
+    def test_max_bytes_refused(self):
+        ds = SyntheticScene(n_frames=8, height=16, width=24)
+        with pytest.raises(ValueError, match="GiB"):
+            upload_frames(ds, max_bytes=ds.get_image(0).nbytes * 4)
+
+    def test_corrupt_frame_substituted(self):
+        ds = SyntheticScene(n_frames=6, height=16, width=24)
+        orig = ds.get_image
+
+        def flaky(i):
+            return None if i == 3 else orig(i)
+
+        ds.get_image = flaky
+        if hasattr(ds, "get_images"):
+            ds.get_images = lambda idxs, num_workers=1: [
+                flaky(i) for i in idxs]
+        buf = np.asarray(upload_frames(ds, chunk=2))
+        np.testing.assert_array_equal(buf[3], buf[2])  # previous good frame
+        np.testing.assert_array_equal(buf[4], orig(4))
+
+
+@pytest.fixture(scope="module")
+def mapnet_state():
+    model = MapNet(posenet=PoseNet(
+        feature_extractor=resnet18(), feat_dim=32, droprate=0.0))
+    criterion = MapNetCriterion()
+    tx = make_optimizer("adam", 1e-3)
+    x0 = jnp.zeros((1, 3, 32, 48, 3), jnp.float32)
+    state = create_train_state(model, criterion, tx, jax.random.PRNGKey(3),
+                               x0)
+    return model, state
+
+
+class TestDeviceCachedEval:
+    def test_matches_loader_path_tuples(self, mapnet_state):
+        model, state = mapnet_state
+        val = MF(SyntheticScene(n_frames=24, height=32, width=48,
+                                train=False), steps=3, skip=2)
+        # use_mesh=False: device_cache runs single-device, and the sharded
+        # batch compiles a different (equally valid) program with 1e-6-level
+        # float differences — compare like with like
+        base = evaluate(model, state, val, batch_size=8, progress=False,
+                        use_mesh=False)
+        dc = evaluate(model, state, val, batch_size=8, progress=False,
+                      device_cache=True)
+        np.testing.assert_allclose(dc["pred_poses"], base["pred_poses"],
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_array_equal(dc["targ_poses"], base["targ_poses"])
+        assert "device_frames" in dc and dc["upload_secs"] >= 0
+
+    def test_ragged_last_batch(self, mapnet_state):
+        model, state = mapnet_state
+        # 24 frames, steps=3 skip=2 -> 24 tuples; batch 7 leaves remainder 3
+        val = MF(SyntheticScene(n_frames=24, height=32, width=48,
+                                train=False), steps=3, skip=2)
+        base = evaluate(model, state, val, batch_size=7, progress=False)
+        dc = evaluate(model, state, val, batch_size=7, progress=False,
+                      device_cache=True)
+        np.testing.assert_allclose(dc["pred_poses"], base["pred_poses"],
+                                   rtol=0, atol=1e-6)
+
+    def test_buffer_reuse_skips_upload(self, mapnet_state):
+        model, state = mapnet_state
+        val = MF(SyntheticScene(n_frames=16, height=32, width=48,
+                                train=False), steps=3, skip=2)
+        first = evaluate(model, state, val, batch_size=8, progress=False,
+                         device_cache=True)
+        again = evaluate(model, state, val, batch_size=8, progress=False,
+                         device_cache=first["device_frames"])
+        np.testing.assert_array_equal(again["pred_poses"],
+                                      first["pred_poses"])
+
+    def test_pgo_targets_carry_vos(self, mapnet_state):
+        from geomapnet_tpu.data import vos_logq_np
+
+        model, state = mapnet_state
+        val = MF(SyntheticScene(n_frames=16, height=32, width=48,
+                                train=False), steps=3, skip=2,
+                 include_vos=True, vo_func=vos_logq_np)
+        base = evaluate(model, state, val, batch_size=8, pose_graph=True,
+                        progress=False)
+        dc = evaluate(model, state, val, batch_size=8, pose_graph=True,
+                      progress=False, device_cache=True)
+        np.testing.assert_allclose(dc["pred_poses"], base["pred_poses"],
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_array_equal(dc["targ_poses"], base["targ_poses"])
+
+    def test_single_frame_posenet(self):
+        model = PoseNet(feature_extractor=resnet18(), feat_dim=32,
+                        droprate=0.0)
+        tx = make_optimizer("adam", 1e-3)
+        ds = SyntheticScene(n_frames=10, height=32, width=48, train=False)
+        x0 = jnp.asarray(ds[0][0][None])
+        state = create_train_state(model, PoseNetCriterion(), tx,
+                                   jax.random.PRNGKey(0), x0)
+        base = evaluate(model, state, ds, batch_size=4, progress=False)
+        dc = evaluate(model, state, ds, batch_size=4, progress=False,
+                      device_cache=True)
+        np.testing.assert_allclose(dc["pred_poses"], base["pred_poses"],
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_array_equal(dc["targ_poses"], base["targ_poses"])

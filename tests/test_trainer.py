@@ -73,3 +73,39 @@ def test_grad_accum_trainer_epoch(tmp_path):
     first = trainer.validate(0)
     trainer.train_val()
     assert trainer.validate(99) < first
+
+
+def test_device_cache_trainer_epoch(tmp_path):
+    """--device_cache: frames in HBM, steps fed by index gather. Training
+    must behave like the loader path (loss improves, artifacts written)."""
+    trainer = _build(tmp_path, device_cache=True)
+    assert trainer.device_cache
+    assert trainer._train_frames.shape == (32, 32, 48, 3)
+    first = trainer.validate(0)
+    trainer.train_val()
+    last = trainer.validate(99)
+    assert last < first
+    assert (tmp_path / "trainer_test" / "epoch_002").exists()
+
+
+def test_device_cache_step_matches_loader_step(tmp_path):
+    """The gather train step and the image train step are the same
+    computation: identical loss on the identical first batch."""
+    import jax
+
+    t_img = _build(tmp_path / "a")
+    t_dc = _build(tmp_path / "b", device_cache=True)
+
+    # same init (same seed/config), same first batch (shuffle seed shared)
+    imgs, poses, _ = next(iter(t_img.train_loader))
+    idx, poses_dc, _ = next(iter(t_dc.train_loader))
+    np.testing.assert_array_equal(poses, poses_dc)
+    # the index batch gathers exactly the frames the loader decoded
+    gathered = np.asarray(t_dc._train_frames)[idx]
+    np.testing.assert_array_equal(gathered, imgs)
+
+    _, loss_img = t_img._train_step(
+        t_img.state, jnp.asarray(imgs), jnp.asarray(poses), t_img.rng)
+    _, loss_dc = t_dc._train_step(
+        t_dc.state, jnp.asarray(idx), jnp.asarray(poses_dc), t_dc.rng)
+    assert float(loss_img) == pytest.approx(float(loss_dc), abs=1e-6)

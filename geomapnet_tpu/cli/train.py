@@ -97,7 +97,7 @@ def main(argv=None):
         "--device_cache", action="store_true",
         help="upload each split's frames to HBM once and feed training by "
         "on-device index gather: no host decode or image transfer after "
-        "the first epoch (single-process, single-device)",
+        "the first epoch (replicated over the device mesh; single-process)",
     )
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a JAX profiler trace of early batches")

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..data.device_cache import IndexLoader
 from ..data.loader import Loader
-from ..parallel.mesh import make_mesh, shard_batch, shard_step
+from ..parallel.mesh import make_mesh, replicated, shard_batch, shard_step
 from ..parallel.multihost import local_batch_size, make_global_batch
 from ..utils.logger import AverageMeter, MetricsWriter, Tee
 from .checkpoint import load_model_params, restore_checkpoint, save_checkpoint
@@ -57,8 +57,10 @@ class Trainer:
     :param device_cache: upload each split's frames to HBM once and feed
         the train/eval steps by on-device index gather
         (:mod:`geomapnet_tpu.data.device_cache`) — removes host decode AND
-        the per-batch image transfer from every epoch after the first;
-        single-process, single-device (falls back with a note otherwise)
+        the per-batch image transfer from every epoch after the first. On a
+        multi-device mesh the buffer replicates and each device gathers its
+        own batch shard locally; single-process only (falls back with a
+        note under jax.distributed)
     """
 
     def __init__(
@@ -191,11 +193,6 @@ class Trainer:
         self.mesh = (
             make_mesh() if (use_mesh or self.process_count > 1) else None
         )
-        if self.device_cache and self.mesh is not None \
-                and self.mesh.devices.size > 1:
-            print("trainer: device_cache runs single-device; ignoring "
-                  "the mesh")
-            self.mesh = None
         train_step = make_train_step(model, train_criterion, self.tx,
                                      preprocess=preprocess,
                                      accum_steps=accum_steps)
@@ -205,7 +202,9 @@ class Trainer:
             # frames live in HBM; steps gather by index (images arg becomes
             # an int32 index array). The buffer rides as an explicit jit
             # argument — closing over it would bake 100s of MB into the
-            # jaxpr as a constant.
+            # jaxpr as a constant. On a multi-device mesh the buffer is
+            # REPLICATED (each device gathers its own index shard locally —
+            # no collective) while idx/poses shard on the batch dim.
             from ..data.device_cache import upload_frames
 
             def _src(ds):
@@ -222,13 +221,28 @@ class Trainer:
                 if self.val_loader is not None else None
             )
 
-            _ts = jax.jit(
-                lambda s, idx, poses, rng, buf: train_step(
-                    s, buf[idx], poses, rng),
-                donate_argnums=(0,),
-            )
-            _es = jax.jit(
-                lambda s, idx, poses, buf: eval_step(s, buf[idx], poses))
+            def _ts_fn(s, idx, poses, rng, buf):
+                return train_step(s, buf[idx], poses, rng)
+
+            def _es_fn(s, idx, poses, buf):
+                return eval_step(s, buf[idx], poses)
+
+            if self.mesh is not None and self.mesh.devices.size > 1:
+                # pin the buffers replicated ONCE — an uncommitted
+                # single-device arg would re-broadcast on every call
+                rep = replicated(self.mesh)
+                self._train_frames = jax.device_put(self._train_frames, rep)
+                if self._val_frames is not None:
+                    self._val_frames = jax.device_put(self._val_frames, rep)
+                _ts = shard_step(_ts_fn, self.mesh, n_batch_args=2,
+                                 n_state_args=1, n_replicated_args=2,
+                                 donate_state=True)
+                _es = shard_step(_es_fn, self.mesh, n_batch_args=2,
+                                 n_state_args=1, n_replicated_args=1,
+                                 donate_state=False)
+            else:
+                _ts = jax.jit(_ts_fn, donate_argnums=(0,))
+                _es = jax.jit(_es_fn)
             self._train_step = (
                 lambda s, idx, poses, rng: _ts(s, idx, poses, rng,
                                                self._train_frames))

@@ -13,7 +13,7 @@ from geomapnet_tpu.models import MapNet, PoseNet, resnet18
 from geomapnet_tpu.train.loop import Trainer
 
 
-def _build(tmp_path, n_epochs=2, **kw):
+def _build(tmp_path, n_epochs=2, use_mesh=False, **kw):
     model = MapNet(posenet=PoseNet(
         feature_extractor=resnet18(), feat_dim=32, droprate=0.0))
     criterion = MapNetCriterion(saq=-3.0, srq=-3.0, learn_beta=True,
@@ -28,7 +28,7 @@ def _build(tmp_path, n_epochs=2, **kw):
                 steps=3, skip=2)
     return Trainer(
         model, criterion, cfg, "trainer_test", train_ds, val_ds,
-        logdir_root=str(tmp_path), use_mesh=False, **kw,
+        logdir_root=str(tmp_path), use_mesh=use_mesh, **kw,
     )
 
 
@@ -109,3 +109,21 @@ def test_device_cache_step_matches_loader_step(tmp_path):
     _, loss_dc = t_dc._train_step(
         t_dc.state, jnp.asarray(idx), jnp.asarray(poses_dc), t_dc.rng)
     assert float(loss_img) == pytest.approx(float(loss_dc), abs=1e-6)
+
+
+def test_device_cache_meshed_trainer(tmp_path):
+    """device_cache x data-parallel mesh: the frame buffer replicates, idx
+    shards on batch; first-step loss matches the single-device gather path."""
+    t_one = _build(tmp_path / "one", device_cache=True)
+    t_dp = _build(tmp_path / "dp", device_cache=True, use_mesh=True)
+    assert t_dp.mesh is not None and t_dp.mesh.devices.size > 1
+
+    idx, poses, _ = next(iter(t_one.train_loader))
+    idx2, poses2, _ = next(iter(t_dp.train_loader))
+    np.testing.assert_array_equal(idx, idx2)
+
+    _, loss_one = t_one._train_step(
+        t_one.state, jnp.asarray(idx), jnp.asarray(poses), t_one.rng)
+    b_idx, b_poses = t_dp._put(idx2, poses2)
+    _, loss_dp = t_dp._train_step(t_dp.state, b_idx, b_poses, t_dp.rng)
+    assert float(loss_one) == pytest.approx(float(loss_dp), rel=1e-4)

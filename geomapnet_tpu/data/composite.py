@@ -72,6 +72,12 @@ class MF:
     def steps(self) -> int:
         return self.sampler.steps
 
+    @property
+    def frame_sources(self) -> tuple:
+        """Base frame dataset(s) this composite gathers images from (the
+        device frame cache uploads these, in order)."""
+        return (self.dset,)
+
     def get_indices(self, index: int) -> np.ndarray:
         rng = (
             np.random.RandomState((self.seed * 1000003 + index) % (2**31))
@@ -145,6 +151,35 @@ class MFOnline:
         self.train_set = train_mf
         self.val_set = val_mf
         self.gps_mode = gps_mode
+
+    @property
+    def frame_sources(self) -> tuple:
+        """Both splits' base frame datasets; the device frame cache
+        concatenates them into one buffer, val frames offset by
+        ``len(train frames)`` (matching :meth:`get_indices`)."""
+        return (self.train_set.dset, self.val_set.dset)
+
+    def get_indices(self, index: int) -> np.ndarray:
+        """Frame rows into the CONCATENATED [train frames ++ val frames]
+        buffer: the labeled tuple's indices as-is, the unlabeled tuple's
+        shifted past the train split. Pairs with :attr:`frame_sources` /
+        ``device_cache.upload_dataset_frames`` so MapNet++ batches are
+        device-side gathers like MF's."""
+        t_idx = self.train_set.get_indices(index % len(self.train_set))
+        v_idx = self.val_set.get_indices(index % len(self.val_set))
+        return np.concatenate(
+            [t_idx, v_idx + len(self.train_set.dset)]).astype(np.int64)
+
+    def _poses_for(self, idx: np.ndarray) -> np.ndarray:
+        """Pose block for a :meth:`get_indices` row — same assembly as
+        ``__getitem__`` (labeled abs poses ++ VO block or gps targets)."""
+        k = self.train_set.steps
+        t_poses = self.train_set._poses_for(np.asarray(idx[:k]))
+        v_poses = self.val_set._poses_for(
+            np.asarray(idx[k:]) - len(self.train_set.dset))
+        if not self.gps_mode:
+            v_poses = v_poses[self.val_set.steps:]  # keep only the VO block
+        return np.concatenate([t_poses, v_poses], axis=0)
 
     def __getitem__(self, index: int):
         t_imgs, t_poses = self.train_set[index % len(self.train_set)]

@@ -22,7 +22,35 @@ import jax.numpy as jnp
 
 from .loader import Loader
 
-__all__ = ["upload_frames", "IndexLoader"]
+__all__ = [
+    "upload_frames", "upload_dataset_frames", "frame_sources", "IndexLoader",
+]
+
+
+def frame_sources(dataset) -> tuple:
+    """Base frame dataset(s) a (possibly composite) dataset gathers from.
+
+    Composites declare their own ``frame_sources`` (MF: one; MFOnline: the
+    labeled and unlabeled splits, whose buffers concatenate in that order to
+    match ``MFOnline.get_indices``). Plain frame datasets are their own
+    source.
+    """
+    if hasattr(dataset, "frame_sources"):
+        return tuple(dataset.frame_sources)
+    if hasattr(dataset, "dset"):  # MF-shaped composite
+        return (dataset.dset,)
+    return (dataset,)
+
+
+def upload_dataset_frames(dataset, **kwargs):
+    """Upload every base frame of ``dataset`` (composite-aware).
+
+    Multi-source composites (MFOnline) get ONE concatenated ``(N, H, W, C)``
+    buffer, sources in ``frame_sources`` order, so the composite's
+    ``get_indices`` rows index it directly.
+    """
+    bufs = [upload_frames(src, **kwargs) for src in frame_sources(dataset)]
+    return jnp.concatenate(bufs, axis=0) if len(bufs) > 1 else bufs[0]
 
 
 def upload_frames(

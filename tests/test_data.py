@@ -134,6 +134,35 @@ class TestMFOnline:
         assert imgs.shape[0] == 2 * T
         assert poses.shape == (2 * T, 6)  # T abs + T gps abs
 
+    @pytest.mark.parametrize("gps_mode", [False, True])
+    def test_get_indices_matches_getitem(self, gps_mode):
+        """The device-cache API (get_indices into the concatenated
+        [train ++ val] frame buffer + _poses_for) reproduces __getitem__."""
+        train_ds = SyntheticScene(n_frames=32)
+        real = SyntheticScene(n_frames=24, train=False, real=True)
+        T = 3
+        train_mf = MF(train_ds, steps=T, skip=2)
+        if gps_mode:
+            val_mf = MF(real, steps=T, skip=2, no_duplicates=True)
+        else:
+            gt = SyntheticScene(n_frames=24, train=False, skip_images=True)
+            val_mf = MF(real, steps=T, skip=2, include_vos=True, real=True,
+                        no_duplicates=True, gt_dataset=gt,
+                        vo_func=vos_logq_np)
+        online = MFOnline(train_mf, val_mf, gps_mode=gps_mode)
+        assert online.frame_sources == (train_ds, real)
+
+        buf = np.concatenate([
+            np.stack([train_ds.get_image(i) for i in range(len(train_ds))]),
+            np.stack([real.get_image(i) for i in range(len(real))]),
+        ])
+        for index in [0, 3, len(online) - 1]:
+            idx = online.get_indices(index)
+            want_imgs, want_poses = online[index]
+            np.testing.assert_array_equal(buf[idx], want_imgs)
+            np.testing.assert_allclose(online._poses_for(idx), want_poses,
+                                       atol=1e-6)
+
 
 class TestOnlyPoses:
     def test_pairs(self):

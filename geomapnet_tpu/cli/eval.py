@@ -219,10 +219,6 @@ def _evaluate(
             frame_buf = device_cache
         upload_secs = time.time() - t_up
 
-        def gather_step(state_, buf_, idx, rng=None):
-            return step_core(state_, buf_[idx], None, rng)
-
-        gstep = jax.jit(gather_step)
         S = len(dataset)
         tuple_idx = (
             [dataset.get_indices(i) for i in range(S)]
@@ -244,21 +240,42 @@ def _evaluate(
 
         t_start = time.time()
         n_batches = (S + batch_size - 1) // batch_size
+        # ONE launch for the whole epoch. With the frames resident in HBM the
+        # measured wall is the per-batch dispatch RPC through the tunnel
+        # (PERF.md "device-resident frames": 864 img/s looped vs ~6k
+        # device-resident) — so the per-batch loop collapses into a
+        # lax.scan over the (n_batches, B, T) index tensor: one dispatch,
+        # one stacked (n_batches, B, T, 6) readback.
+        pad_rows = n_batches * batch_size - S
+        idx_all = np.concatenate(
+            [idx_mat, np.repeat(idx_mat[-1:], pad_rows, axis=0)]
+        ).reshape(n_batches, batch_size, -1)
+        rngs_all = (
+            jnp.stack([jax.random.fold_in(eval_rng, i)
+                       for i in range(n_batches)])
+            if stochastic else jnp.zeros((n_batches, 2), jnp.uint32)
+        )
+
+        def epoch_scan(state_, buf_, idx_batches, rngs):
+            def body(carry, xs):
+                ib, rng = xs
+                _, out = step_core(
+                    state_, buf_[ib if is_tuple else ib[:, 0]], None,
+                    rng if stochastic else None)
+                return carry, (out if out.ndim == 3 else out[:, None, :])
+            _, outs = jax.lax.scan(body, 0, (idx_batches, rngs))
+            return outs
+
+        if progress:
+            print(f"eval: scanning {n_batches} batches in one launch")
+        outs = jax.jit(epoch_scan)(
+            state, frame_buf, jnp.asarray(idx_all), rngs_all)
+        outs_np = np.asarray(outs, np.float64)  # (n_batches, B, T, 6)
+
         for batch_idx in range(n_batches):
             s = batch_idx * batch_size
-            ib = idx_mat[s:s + batch_size]
-            valid = len(ib)
-            if valid < batch_size:  # static shapes: pad with a valid row
-                ib = np.concatenate(
-                    [ib, np.repeat(ib[-1:], batch_size - valid, axis=0)])
-            if progress and batch_idx % 10 == 0:
-                print(f"Batch {batch_idx} / {n_batches}")
-            idx_dev = jnp.asarray(ib if is_tuple else ib[:, 0])
-            rng = (jax.random.fold_in(eval_rng, batch_idx)
-                   if stochastic else None)
-            _, output = gstep(state, frame_buf, idx_dev, rng)
-            dev_outputs.append(
-                output if output.ndim == 3 else output[:, None, :])
+            valid = min(batch_size, S - s)
+            dev_outputs.append(outs_np[batch_idx])
             targ = np.stack(
                 [np.asarray(t, np.float64)
                  for t in targets_np[s:s + batch_size]])

@@ -99,6 +99,12 @@ def main(argv=None):
         "on-device index gather: no host decode or image transfer after "
         "the first epoch (replicated over the device mesh; single-process)",
     )
+    parser.add_argument(
+        "--steps_per_launch", type=int, default=1, metavar="K",
+        help="with --device_cache, fuse K optimizer steps into one device "
+        "launch (lax.scan over stacked index batches) — bit-identical "
+        "updates, 1/K the host dispatch overhead",
+    )
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a JAX profiler trace of early batches")
     parser.add_argument("--debug_nans", action="store_true",
@@ -179,6 +185,7 @@ def main(argv=None):
         # writer — the live-dashboard equivalent here
         tensorboard=args.tensorboard or config.visdom,
         device_cache=args.device_cache,
+        steps_per_launch=args.steps_per_launch,
     )
 
     if args.pretrained_npz and checkpoint is not None:

@@ -61,6 +61,14 @@ class Trainer:
         multi-device mesh the buffer replicates and each device gathers its
         own batch shard locally; single-process only (falls back with a
         note under jax.distributed)
+    :param steps_per_launch: with ``device_cache``, fuse this many optimizer
+        steps into ONE device launch (a ``lax.scan`` over stacked index
+        batches). Semantics are bit-identical to launching each step —
+        dropout folds per ``state.step`` inside the scan — but the
+        per-launch host dispatch (the measured wall on remote/tunneled
+        rigs, PERF.md "device-resident frames") is paid once per K steps.
+        Losses for all K steps come back as one array, so per-batch
+        logging is unchanged. Ignored without ``device_cache``.
     """
 
     def __init__(
@@ -82,6 +90,7 @@ class Trainer:
         tensorboard: bool = False,
         accum_steps: int = 1,
         device_cache: bool = False,
+        steps_per_launch: int = 1,
     ):
         self.model = model
         self.config = config
@@ -129,15 +138,24 @@ class Trainer:
         if device_cache:
             # cached frames are post-transform: a stochastic host jitter
             # (RobotCar color_jitter) would freeze one draw for all epochs
-            src = (train_dataset.dset if hasattr(train_dataset, "dset")
-                   else train_dataset)
-            jitter = getattr(getattr(src, "transform", None),
-                             "color_jitter_strength", 0)
-            if jitter:
-                print(f"trainer: device_cache disabled — the train "
-                      f"transform jitters (color_jitter_strength={jitter})")
-                device_cache = False
+            from ..data.device_cache import frame_sources
+
+            for src in frame_sources(train_dataset):
+                jitter = getattr(getattr(src, "transform", None),
+                                 "color_jitter_strength", 0)
+                if jitter:
+                    print(f"trainer: device_cache disabled — the train "
+                          f"transform jitters "
+                          f"(color_jitter_strength={jitter})")
+                    device_cache = False
+                    break
         self.device_cache = device_cache
+        if steps_per_launch > 1 and not device_cache:
+            print("trainer: steps_per_launch needs device_cache "
+                  "(the batches must already live on device); ignoring")
+        self.steps_per_launch = (
+            max(1, int(steps_per_launch)) if device_cache else 1)
+        self._train_scan = None
 
         loader_kwargs = dict(
             process_index=self.process_index, process_count=self.process_count,
@@ -205,19 +223,19 @@ class Trainer:
             # jaxpr as a constant. On a multi-device mesh the buffer is
             # REPLICATED (each device gathers its own index shard locally —
             # no collective) while idx/poses shard on the batch dim.
-            from ..data.device_cache import upload_frames
+            from ..data.device_cache import (
+                frame_sources, upload_dataset_frames,
+            )
 
-            def _src(ds):
-                return ds.dset if hasattr(ds, "dset") else ds
-
-            self._train_frames = upload_frames(
-                _src(train_dataset), num_workers=config.num_workers)
+            self._train_frames = upload_dataset_frames(
+                train_dataset, num_workers=config.num_workers)
             self._val_frames = (
                 self._train_frames
                 if (self.val_loader is not None
-                    and _src(val_dataset) is _src(train_dataset))
-                else upload_frames(_src(val_dataset),
-                                   num_workers=config.num_workers)
+                    and frame_sources(val_dataset)
+                    == frame_sources(train_dataset))
+                else upload_dataset_frames(val_dataset,
+                                           num_workers=config.num_workers)
                 if self.val_loader is not None else None
             )
 
@@ -248,6 +266,33 @@ class Trainer:
                                                self._train_frames))
             self._eval_step = (
                 lambda s, idx, poses: _es(s, idx, poses, self._val_frames))
+
+            if self.steps_per_launch > 1:
+                # K optimizer steps per device launch: scan over stacked
+                # (K, B, ...) index/pose batches. Bit-identical to K single
+                # launches (dropout folds per state.step inside the scan);
+                # the host dispatch RPC is paid once per K steps.
+                def _tsk_fn(s, idx_k, poses_k, rng, buf):
+                    def body(s_, xs):
+                        i_, p_ = xs
+                        return train_step(s_, buf[i_], p_, rng)
+
+                    return jax.lax.scan(body, s, (idx_k, poses_k))
+
+                if self.mesh is not None and self.mesh.devices.size > 1:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    rep = replicated(self.mesh)
+                    d2 = NamedSharding(
+                        self.mesh, PartitionSpec(None, "data"))
+                    _tsk = jax.jit(
+                        _tsk_fn, in_shardings=(rep, d2, d2, rep, rep),
+                        donate_argnums=(0,))
+                else:
+                    _tsk = jax.jit(_tsk_fn, donate_argnums=(0,))
+                self._train_scan = (
+                    lambda s, idx_k, poses_k, rng: _tsk(
+                        s, idx_k, poses_k, rng, self._train_frames))
         elif self.mesh is not None and self.mesh.devices.size > 1:
             self._train_step = shard_step(
                 train_step, self.mesh, n_batch_args=2, n_replicated_args=1,
@@ -328,42 +373,85 @@ class Trainer:
             if self.profile_dir and epoch == self.start_epoch:
                 jax.profiler.start_trace(self.profile_dir)
                 tracing = True
-            for batch_idx, (imgs, poses, _) in enumerate(self.train_loader):
-                data_time.update(time.time() - end)
-                if tracing and batch_idx == 10:
-                    jax.profiler.stop_trace()
-                    tracing = False
-                    print(f"Profiler trace written to {self.profile_dir}")
-                imgs, poses = self._put(imgs, poses)
-                self.state, loss = self._train_step(
-                    self.state, imgs, poses, self.rng
-                )
-                batch_time.update(time.time() - end)
+            n_batches = len(self.train_loader)
 
-                if batch_idx % cfg.print_freq == 0:
-                    # loss readback only at print points — syncing every
-                    # batch stalls the dispatch pipeline on the host RTT
-                    loss = float(loss)
-                    cparams = {
-                        k: float(v)
-                        for k, v in self.state.params["criterion"].items()
-                    }
-                    lr = float(self._lr_schedule(int(self.state.step)))
-                    print(
-                        f"Train {self.experiment}: Epoch {epoch}\t"
-                        f"Batch {batch_idx}/{len(self.train_loader) - 1}\t"
-                        f"Data Time {data_time.val:.4f} ({data_time.avg:.4f})\t"
-                        f"Batch Time {batch_time.val:.4f} ({batch_time.avg:.4f})\t"
-                        f"Loss {loss:f}\t"
-                        f"lr: {lr:f}"
+            def emit(batch_idx, loss):
+                # loss readback only at print points — syncing every
+                # batch stalls the dispatch pipeline on the host RTT
+                loss = float(loss)
+                cparams = {
+                    k: float(v)
+                    for k, v in self.state.params["criterion"].items()
+                }
+                lr = float(self._lr_schedule(int(self.state.step)))
+                print(
+                    f"Train {self.experiment}: Epoch {epoch}\t"
+                    f"Batch {batch_idx}/{n_batches - 1}\t"
+                    f"Data Time {data_time.val:.4f} ({data_time.avg:.4f})\t"
+                    f"Batch Time {batch_time.val:.4f} ({batch_time.avg:.4f})\t"
+                    f"Loss {loss:f}\t"
+                    f"lr: {lr:f}"
+                )
+                self.metrics.write(
+                    kind="train", step=int(self.state.step), epoch=epoch,
+                    batch=batch_idx, loss=loss, lr=lr,
+                    data_time=data_time.avg,
+                    batch_time=batch_time.avg, **cparams,
+                )
+
+            if self._train_scan is not None:
+                # K steps per launch (see steps_per_launch): stack K index
+                # batches, run the scanned step, get all K losses back as
+                # one device array. Timing meters are per-LAUNCH here.
+                K = self.steps_per_launch
+                chunk, base = [], 0
+                for item in self.train_loader:
+                    chunk.append(item)
+                    if len(chunk) < K and base + len(chunk) < n_batches:
+                        continue
+                    data_time.update(time.time() - end)
+                    if len(chunk) == K:
+                        idx_k = np.stack([c[0] for c in chunk])
+                        poses_k = np.stack([c[1] for c in chunk])
+                        self.state, losses = self._train_scan(
+                            self.state, jax.numpy.asarray(idx_k),
+                            jax.numpy.asarray(poses_k), self.rng)
+                    else:
+                        # epoch tail shorter than K: per-step launches
+                        # (one scan compile per tail length isn't worth it)
+                        losses = []
+                        for idx, poses, _ in chunk:
+                            idx, poses = self._put(idx, poses)
+                            self.state, l = self._train_step(
+                                self.state, idx, poses, self.rng)
+                            losses.append(l)
+                    if tracing:
+                        jax.profiler.stop_trace()
+                        tracing = False
+                        print(f"Profiler trace written to {self.profile_dir}")
+                    batch_time.update(time.time() - end)
+                    for j in range(len(chunk)):
+                        if (base + j) % cfg.print_freq == 0:
+                            emit(base + j, losses[j])
+                    base += len(chunk)
+                    chunk = []
+                    end = time.time()
+            else:
+                for batch_idx, (imgs, poses, _) in enumerate(
+                        self.train_loader):
+                    data_time.update(time.time() - end)
+                    if tracing and batch_idx == 10:
+                        jax.profiler.stop_trace()
+                        tracing = False
+                        print(f"Profiler trace written to {self.profile_dir}")
+                    imgs, poses = self._put(imgs, poses)
+                    self.state, loss = self._train_step(
+                        self.state, imgs, poses, self.rng
                     )
-                    self.metrics.write(
-                        kind="train", step=int(self.state.step), epoch=epoch,
-                        batch=batch_idx, loss=loss, lr=lr,
-                        data_time=data_time.avg,
-                        batch_time=batch_time.avg, **cparams,
-                    )
-                end = time.time()
+                    batch_time.update(time.time() - end)
+                    if batch_idx % cfg.print_freq == 0:
+                        emit(batch_idx, loss)
+                    end = time.time()
             if tracing:
                 jax.profiler.stop_trace()
 

@@ -154,3 +154,43 @@ def test_posenet_checkpoint_loads_into_mapnet(mapnet_checkpoint, tmp_path):
         trainer.state.params["model"]["feature_extractor"]["conv1"]["kernel"]
     )
     assert not np.allclose(before, after)
+
+
+@pytest.mark.parametrize("gps_mode", [False, True], ids=["vo", "gps"])
+def test_mapnetpp_device_cache_matches_loader(tmp_path, gps_mode):
+    """--device_cache on MapNet++: MFOnline's two frame splits upload as one
+    concatenated HBM buffer (frame_sources order), batches become index
+    gathers — the gather step computes EXACTLY what the image step computes
+    on the identical first batch."""
+    def build(root, **kw):
+        return Trainer(
+            _model(filter_nans=True),
+            MapNetOnlineCriterion(saq=-3.0, srq=-3.0, learn_beta=True,
+                                  learn_gamma=True, gps_mode=gps_mode),
+            _cfg(n_epochs=1, lr=1e-4, max_grad_norm=5.0), "mppdc",
+            _online_dataset(gps_mode), None,
+            logdir_root=str(root), use_mesh=False, **kw,
+        )
+
+    t_img = build(tmp_path / "img")
+    t_dc = build(tmp_path / "dc", device_cache=True)
+    assert t_dc.device_cache
+    # 24 labeled + 24 unlabeled frames, one concatenated buffer
+    assert t_dc._train_frames.shape == (48, H, W, 3)
+
+    imgs, poses, _ = next(iter(t_img.train_loader))
+    idx, poses_dc, _ = next(iter(t_dc.train_loader))
+    np.testing.assert_allclose(poses, poses_dc, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(t_dc._train_frames)[idx], imgs)
+
+    # the jit'd steps donate their state arg — keep the returned states
+    t_img.state, loss_img = t_img._train_step(
+        t_img.state, jnp.asarray(imgs), jnp.asarray(poses), t_img.rng)
+    t_dc.state, loss_dc = t_dc._train_step(
+        t_dc.state, jnp.asarray(idx), jnp.asarray(poses_dc), t_dc.rng)
+    assert float(loss_img) == pytest.approx(float(loss_dc), abs=1e-6)
+
+    # and the full schedule runs on the gather path
+    t_dc.train_val()
+    losses = _train_losses(tmp_path / "dc" / "mppdc")
+    assert losses and np.all(np.isfinite(losses))

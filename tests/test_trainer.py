@@ -127,3 +127,85 @@ def test_device_cache_meshed_trainer(tmp_path):
     b_idx, b_poses = t_dp._put(idx2, poses2)
     _, loss_dp = t_dp._train_step(t_dp.state, b_idx, b_poses, t_dp.rng)
     assert float(loss_one) == pytest.approx(float(loss_dp), rel=1e-4)
+
+
+def test_steps_per_launch_matches_single_launch(tmp_path):
+    """steps_per_launch=K fuses K optimizer steps into one lax.scan launch.
+    One K=3 scan launch must compute what 3 single launches compute from
+    the same state (same batches; dropout folds per state.step inside the
+    scan). Tolerances are float-noise-sized: the scan and the single step
+    are separately compiled XLA programs, so bit equality isn't defined —
+    a wrong-batch/wrong-rng bug would diverge by orders of magnitude more
+    (cf. the 1-ulp chaos control in docs/TRAIN_PARITY.md). The full
+    schedule then runs with a non-multiple batch count, exercising the
+    epoch-tail fallback."""
+    import jax
+
+    def build(root, **kw):
+        # plain SGD at a small lr: cross-program float noise stays near ulp
+        # scale instead of being amplified by Adam's rsqrt on this steep
+        # synthetic loss, so the equivalence bands below stay tight
+        model = MapNet(posenet=PoseNet(
+            feature_extractor=resnet18(), feat_dim=32, droprate=0.0))
+        criterion = MapNetCriterion(saq=-3.0, srq=-3.0, learn_beta=True,
+                                    learn_gamma=True)
+        cfg = ExperimentConfig(
+            n_epochs=2, batch_size=8, do_val=False, seed=7, snapshot=2,
+            val_freq=10, print_freq=1, opt="sgd", lr=1e-4,
+        )
+        ds = MF(SyntheticScene(n_frames=32, height=32, width=48), steps=3,
+                skip=2)
+        return Trainer(model, criterion, cfg, "trainer_test", ds, None,
+                       logdir_root=str(root), use_mesh=False, **kw)
+
+    t_1 = build(tmp_path / "k1", device_cache=True)
+    t_k = build(tmp_path / "k3", device_cache=True, steps_per_launch=3)
+    assert t_k._train_scan is not None
+    assert len(t_k.train_loader) % 3 != 0  # tail exercises the fallback
+
+    it = iter(t_1.train_loader)
+    batches = [next(it), next(it), next(it)]
+    it_k = iter(t_k.train_loader)
+    for want, got in zip(batches, [next(it_k) for _ in range(3)]):
+        np.testing.assert_array_equal(want[0], got[0])  # same sampling
+
+    s1 = t_1.state
+    losses1 = []
+    for idx, poses, _ in batches:
+        s1, l = t_1._train_step(s1, jnp.asarray(idx), jnp.asarray(poses),
+                                t_1.rng)
+        losses1.append(float(l))
+
+    idx_k = np.stack([b[0] for b in batches])
+    poses_k = np.stack([b[1] for b in batches])
+    s2, losses_k = t_k._train_scan(
+        t_k.state, jnp.asarray(idx_k), jnp.asarray(poses_k), t_k.rng)
+
+    # The sharp semantic checks are steps 0 and 1. Step 0 runs on IDENTICAL
+    # params in both programs — a wrong-batch/wrong-state bug shows at full
+    # size. Step 1 matching to 1e-4 proves the scan CARRIED the updated
+    # carry (optimizer applied, BN advanced): a threading bug would repeat
+    # step-0-scale losses. Step 2+ gets a chaos band only: the two XLA
+    # programs differ at ulp level and a single maxpool/ReLU tie flip under
+    # that perturbation reroutes gradients at ~1e-3 scale (measured: SGD
+    # step-1 rel diff 1.3e-7, step-2 2.8e-3 — a discrete flip, not smooth
+    # growth), so tight cross-program equality past step 1 is not defined.
+    assert losses1[0] == pytest.approx(float(losses_k[0]), rel=1e-6)
+    assert losses1[1] == pytest.approx(float(losses_k[1]), rel=1e-4)
+    np.testing.assert_allclose(losses1, np.asarray(losses_k), rtol=2e-2)
+    for a, b in zip(jax.tree.leaves(s1.params["model"]),
+                    jax.tree.leaves(s2.params["model"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=2e-2)
+    for a, b in zip(jax.tree.leaves(s1.batch_stats),
+                    jax.tree.leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=2e-2)
+
+    # full schedule on the scan path: launches of 3 + a 1-step epoch tail
+    t_k.state = s2  # the scan donated t_k's original state buffers
+    t_k.train_val()
+    lines = [json.loads(l)
+             for l in open(tmp_path / "k3" / "trainer_test" / "metrics.jsonl")]
+    tr = [l["loss"] for l in lines if l["kind"] == "train"]
+    assert tr and np.all(np.isfinite(tr))

@@ -156,6 +156,7 @@ class Trainer:
         self.steps_per_launch = (
             max(1, int(steps_per_launch)) if device_cache else 1)
         self._train_scan = None
+        self._eval_scan = None
 
         loader_kwargs = dict(
             process_index=self.process_index, process_count=self.process_count,
@@ -293,6 +294,26 @@ class Trainer:
                 self._train_scan = (
                     lambda s, idx_k, poses_k, rng: _tsk(
                         s, idx_k, poses_k, rng, self._train_frames))
+
+                # validation gets the same launch fusion (read-only: no
+                # carry mutation, losses stack to (K,))
+                def _esk_fn(s, idx_k, poses_k, buf):
+                    def body(carry, xs):
+                        i_, p_ = xs
+                        loss, _ = eval_step(s, buf[i_], p_)
+                        return carry, loss
+
+                    _, k_losses = jax.lax.scan(body, 0, (idx_k, poses_k))
+                    return k_losses
+
+                if self.mesh is not None and self.mesh.devices.size > 1:
+                    _esk = jax.jit(
+                        _esk_fn, in_shardings=(rep, d2, d2, rep))
+                else:
+                    _esk = jax.jit(_esk_fn)
+                self._eval_scan = (
+                    lambda s, idx_k, poses_k: _esk(
+                        s, idx_k, poses_k, self._val_frames))
         elif self.mesh is not None and self.mesh.devices.size > 1:
             self._train_step = shard_step(
                 train_step, self.mesh, n_batch_args=2, n_replicated_args=1,
@@ -321,25 +342,66 @@ class Trainer:
         losses, weights, pads = [], [], []
         batch_time = AverageMeter()
         end = time.time()
-        for batch_idx, (imgs, poses, pad) in enumerate(self.val_loader):
-            imgs, poses = self._put(imgs, poses)
-            loss, _ = self._eval_step(self.state, imgs, poses)
-            losses.append(loss)
-            # imgs is the GLOBAL batch after _put; every process pads its
-            # local tail identically (same local length + batch size), so
-            # global valid count = global rows - local pad * process_count
-            # (the identical-pad invariant is checked after the loop)
-            weights.append(imgs.shape[0] - pad * self.process_count)
-            pads.append(pad)
-            batch_time.update(time.time() - end)
-            end = time.time()
-            if batch_idx % self.config.print_freq == 0:
-                print(
-                    f"Val {self.experiment}: Epoch {epoch}\t"
-                    f"Batch {batch_idx}/{len(self.val_loader) - 1}\t"
-                    f"Batch time {batch_time.val:.4f} ({batch_time.avg:.4f})\t"
-                    f"Loss {float(loss):f}"
-                )
+        if self._eval_scan is not None:
+            # launch fusion (see steps_per_launch): K val batches per scan
+            # launch; the whole chunk's losses come back as one (K,) array
+            K = self.steps_per_launch
+            n_val = len(self.val_loader)
+            chunk, base = [], 0
+            for item in self.val_loader:
+                chunk.append(item)
+                if len(chunk) < K and base + len(chunk) < n_val:
+                    continue
+                if len(chunk) == K:
+                    k_losses = self._eval_scan(
+                        self.state,
+                        jax.numpy.asarray(np.stack([c[0] for c in chunk])),
+                        jax.numpy.asarray(np.stack([c[1] for c in chunk])))
+                    chunk_losses = list(k_losses)
+                else:  # epoch tail: per-batch launches
+                    chunk_losses = []
+                    for idx, poses, _pad in chunk:
+                        idx, poses = self._put(idx, poses)
+                        loss, _ = self._eval_step(self.state, idx, poses)
+                        chunk_losses.append(loss)
+                batch_time.update(time.time() - end)
+                for j, (idx, _poses, pad) in enumerate(chunk):
+                    losses.append(chunk_losses[j])
+                    weights.append(len(idx) - pad * self.process_count)
+                    pads.append(pad)
+                    if (base + j) % self.config.print_freq == 0:
+                        print(
+                            f"Val {self.experiment}: Epoch {epoch}\t"
+                            f"Batch {base + j}/{n_val - 1}\t"
+                            f"Batch time {batch_time.val:.4f} "
+                            f"({batch_time.avg:.4f})\t"
+                            f"Loss {float(chunk_losses[j]):f}"
+                        )
+                base += len(chunk)
+                chunk = []
+                end = time.time()
+        else:
+            for batch_idx, (imgs, poses, pad) in enumerate(self.val_loader):
+                imgs, poses = self._put(imgs, poses)
+                loss, _ = self._eval_step(self.state, imgs, poses)
+                losses.append(loss)
+                # imgs is the GLOBAL batch after _put; every process pads
+                # its local tail identically (same local length + batch
+                # size), so global valid count = global rows - local pad *
+                # process_count (the identical-pad invariant is checked
+                # after the loop)
+                weights.append(imgs.shape[0] - pad * self.process_count)
+                pads.append(pad)
+                batch_time.update(time.time() - end)
+                end = time.time()
+                if batch_idx % self.config.print_freq == 0:
+                    print(
+                        f"Val {self.experiment}: Epoch {epoch}\t"
+                        f"Batch {batch_idx}/{len(self.val_loader) - 1}\t"
+                        f"Batch time {batch_time.val:.4f} "
+                        f"({batch_time.avg:.4f})\t"
+                        f"Loss {float(loss):f}"
+                    )
         if self.process_count > 1:
             # one collective per validation: the weighted average above is
             # only correct if every process padded every batch identically

@@ -150,18 +150,26 @@ def test_steps_per_launch_matches_single_launch(tmp_path):
         criterion = MapNetCriterion(saq=-3.0, srq=-3.0, learn_beta=True,
                                     learn_gamma=True)
         cfg = ExperimentConfig(
-            n_epochs=2, batch_size=8, do_val=False, seed=7, snapshot=2,
+            n_epochs=2, batch_size=8, do_val=True, seed=7, snapshot=2,
             val_freq=10, print_freq=1, opt="sgd", lr=1e-4,
         )
         ds = MF(SyntheticScene(n_frames=32, height=32, width=48), steps=3,
                 skip=2)
-        return Trainer(model, criterion, cfg, "trainer_test", ds, None,
+        val = MF(SyntheticScene(n_frames=16, height=32, width=48,
+                                train=False), steps=3, skip=2)
+        return Trainer(model, criterion, cfg, "trainer_test", ds, val,
                        logdir_root=str(root), use_mesh=False, **kw)
 
     t_1 = build(tmp_path / "k1", device_cache=True)
     t_k = build(tmp_path / "k3", device_cache=True, steps_per_launch=3)
     assert t_k._train_scan is not None
     assert len(t_k.train_loader) % 3 != 0  # tail exercises the fallback
+
+    # validation is read-only, so the scanned and per-batch paths must agree
+    # to cross-program float noise (no step-to-step amplification)
+    assert t_k._eval_scan is not None
+    v1, vk = t_1.validate(0), t_k.validate(0)
+    assert v1 == pytest.approx(vk, rel=1e-5)
 
     it = iter(t_1.train_loader)
     batches = [next(it), next(it), next(it)]

@@ -117,9 +117,6 @@ def _evaluate(
         print(f"eval: batch_size {batch_size} not divisible by {n_dev} "
               f"devices; running single-device (pick a multiple to shard)")
         use_mesh = False
-    if use_device_cache and use_mesh and n_dev > 1:
-        print("eval: --device_cache runs single-device; ignoring the mesh")
-        use_mesh = False
     mesh = make_mesh() if (use_mesh and n_dev > 1) else None
 
     def _jit_step(fn):
@@ -217,6 +214,10 @@ def _evaluate(
             frame_buf = upload_frames(frames_src, num_workers=num_workers)
         else:
             frame_buf = device_cache
+        if mesh is not None:
+            # pin the buffer replicated over the dp mesh once; each device
+            # gathers its own batch shard locally (no collective)
+            frame_buf = jax.device_put(frame_buf, replicated(mesh))
         upload_secs = time.time() - t_up
 
         S = len(dataset)
@@ -267,9 +268,20 @@ def _evaluate(
             return outs
 
         if progress:
-            print(f"eval: scanning {n_batches} batches in one launch")
-        outs = jax.jit(epoch_scan)(
-            state, frame_buf, jnp.asarray(idx_all), rngs_all)
+            print(f"eval: scanning {n_batches} batches in one launch"
+                  + (f" over {n_dev} devices" if mesh is not None else ""))
+        if mesh is None:
+            scan_jit = jax.jit(epoch_scan)
+        else:
+            # dp over the scan: the index tensor shards on its BATCH axis
+            # (each device evaluates its slice of every scanned batch
+            # against its local replica of the frame buffer)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = replicated(mesh)
+            d2 = NamedSharding(mesh, PartitionSpec(None, "data"))
+            scan_jit = jax.jit(epoch_scan, in_shardings=(rep, rep, d2, rep))
+        outs = scan_jit(state, frame_buf, jnp.asarray(idx_all), rngs_all)
         outs_np = np.asarray(outs, np.float64)  # (n_batches, B, T, 6)
 
         for batch_idx in range(n_batches):

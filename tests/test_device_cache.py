@@ -61,13 +61,13 @@ class TestDeviceCachedEval:
         model, state = mapnet_state
         val = MF(SyntheticScene(n_frames=24, height=32, width=48,
                                 train=False), steps=3, skip=2)
-        # use_mesh=False: device_cache runs single-device, and the sharded
-        # batch compiles a different (equally valid) program with 1e-6-level
-        # float differences — compare like with like
+        # use_mesh=False on BOTH: a sharded batch compiles a different
+        # (equally valid) program with 1e-6-level float differences —
+        # compare like with like (the dp composition has its own test)
         base = evaluate(model, state, val, batch_size=8, progress=False,
                         use_mesh=False)
         dc = evaluate(model, state, val, batch_size=8, progress=False,
-                      device_cache=True)
+                      device_cache=True, use_mesh=False)
         np.testing.assert_allclose(dc["pred_poses"], base["pred_poses"],
                                    rtol=0, atol=1e-6)
         np.testing.assert_array_equal(dc["targ_poses"], base["targ_poses"])
@@ -89,9 +89,10 @@ class TestDeviceCachedEval:
         val = MF(SyntheticScene(n_frames=16, height=32, width=48,
                                 train=False), steps=3, skip=2)
         first = evaluate(model, state, val, batch_size=8, progress=False,
-                         device_cache=True)
+                         device_cache=True, use_mesh=False)
         again = evaluate(model, state, val, batch_size=8, progress=False,
-                         device_cache=first["device_frames"])
+                         device_cache=first["device_frames"],
+                         use_mesh=False)
         np.testing.assert_array_equal(again["pred_poses"],
                                       first["pred_poses"])
 
@@ -105,7 +106,7 @@ class TestDeviceCachedEval:
         base = evaluate(model, state, val, batch_size=8, pose_graph=True,
                         progress=False)
         dc = evaluate(model, state, val, batch_size=8, pose_graph=True,
-                      progress=False, device_cache=True)
+                      progress=False, device_cache=True, use_mesh=False)
         np.testing.assert_allclose(dc["pred_poses"], base["pred_poses"],
                                    rtol=0, atol=1e-5)
         np.testing.assert_array_equal(dc["targ_poses"], base["targ_poses"])
@@ -120,7 +121,25 @@ class TestDeviceCachedEval:
                                    jax.random.PRNGKey(0), x0)
         base = evaluate(model, state, ds, batch_size=4, progress=False)
         dc = evaluate(model, state, ds, batch_size=4, progress=False,
-                      device_cache=True)
+                      device_cache=True, use_mesh=False)
         np.testing.assert_allclose(dc["pred_poses"], base["pred_poses"],
                                    rtol=0, atol=1e-6)
         np.testing.assert_array_equal(dc["targ_poses"], base["targ_poses"])
+
+
+    def test_dp_mesh_scan_matches_single_device(self, mapnet_state):
+        """device_cache x dp mesh: the epoch scan shards every batch's rows
+        over the 8-device 'data' axis (frame buffer replicated, index
+        tensor P(None, 'data')). Predictions must match the single-device
+        scan to cross-program float noise."""
+        model, state = mapnet_state
+        val = MF(SyntheticScene(n_frames=24, height=32, width=48,
+                                train=False), steps=3, skip=2)
+        one = evaluate(model, state, val, batch_size=8, progress=False,
+                       device_cache=True, use_mesh=False)
+        dp = evaluate(model, state, val, batch_size=8, progress=False,
+                      device_cache=True, use_mesh=True)
+        assert len(jax.devices()) > 1  # conftest provisions the CPU mesh
+        np.testing.assert_allclose(dp["pred_poses"], one["pred_poses"],
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_array_equal(dp["targ_poses"], one["targ_poses"])

@@ -87,14 +87,23 @@ LR = 1e-4
 WEIGHT_DECAY = 5e-4
 N_BATCHES = 8          # fixed batches cycled like epochs over a tiny dataset
 BATCH, T, H, W = 2, 3, 64, 96
+VARIANT = "mapnet"     # or "mapnetpp" (set from --variant in main)
 
 
 def make_data():
-    """Deterministic dataset: N_BATCHES train batches + one held-out batch."""
+    """Deterministic dataset: N_BATCHES train batches + one held-out batch.
+
+    mapnet: x (B, T, 3, H, W), targ (B, T, 6) absolute log-q poses.
+    mapnetpp: x (B, 2T, ...) — labeled tuple ++ unlabeled tuple — and targ
+    (B, 2T-1, 6): T absolute poses then T-1 VO targets (the reference's
+    MapNetOnlineCriterion contract, common/criterion.py:139-152).
+    """
+    frames = 2 * T if VARIANT == "mapnetpp" else T
+    t_rows = 2 * T - 1 if VARIANT == "mapnetpp" else T
     xs, ts = [], []
     for i in range(N_BATCHES + 1):
-        xs.append(fixed_input((BATCH, T, 3, H, W), phase=0.9 + 0.37 * i))
-        ts.append((fixed_input((BATCH, T, 6), phase=2.5 + 0.53 * i) * 0.1
+        xs.append(fixed_input((BATCH, frames, 3, H, W), phase=0.9 + 0.37 * i))
+        ts.append((fixed_input((BATCH, t_rows, 6), phase=2.5 + 0.53 * i) * 0.1
                    ).astype(np.float32))
     return xs[:N_BATCHES], ts[:N_BATCHES], xs[-1], ts[-1]
 
@@ -116,7 +125,8 @@ def run_reference(n_steps, perturb_ulp: bool = False):
     torch.manual_seed(0)
     ref = load_reference_posenet_module()
     pn = ref.PoseNet(feature_extractor=ResNet34(), droprate=0.0,
-                     pretrained=False, feat_dim=FEAT_DIM)
+                     pretrained=False, feat_dim=FEAT_DIM,
+                     filter_nans=(VARIANT == "mapnetpp"))
     sd = synthetic_posenet_state_dict(feat_dim=FEAT_DIM)
     if perturb_ulp:
         rng = np.random.default_rng(7)
@@ -131,8 +141,10 @@ def run_reference(n_steps, perturb_ulp: bool = False):
     pn.load_state_dict(sd, strict=True)
     model = ref.MapNet(mapnet=pn)
     model.train()
-    crit = CR.MapNetCriterion(sax=0.0, saq=-3.0, srx=0.0, srq=-3.0,
-                              learn_beta=True, learn_gamma=True)
+    crit_cls = (CR.MapNetOnlineCriterion if VARIANT == "mapnetpp"
+                else CR.MapNetCriterion)
+    crit = crit_cls(sax=0.0, saq=-3.0, srx=0.0, srq=-3.0,
+                    learn_beta=True, learn_gamma=True)
     params = list(model.parameters()) + list(crit.parameters())
     opt = torch.optim.Adam(params, lr=LR, weight_decay=WEIGHT_DECAY)
 
@@ -173,7 +185,7 @@ def run_ours(n_steps):
     assert jax.default_backend() == "cpu", jax.default_backend()
     assert jax.config.jax_default_matmul_precision == "highest"
 
-    from geomapnet_tpu.losses import MapNetCriterion
+    from geomapnet_tpu.losses import MapNetCriterion, MapNetOnlineCriterion
     from geomapnet_tpu.models import MapNet, PoseNet, resnet34
     from geomapnet_tpu.models.torch_import import (
         convert_state_dict,
@@ -191,7 +203,8 @@ def run_ours(n_steps):
 
     model = MapNet(posenet=PoseNet(
         feature_extractor=resnet34(dtype=jnp.float32),
-        feat_dim=FEAT_DIM, droprate=0.0))
+        feat_dim=FEAT_DIM, droprate=0.0,
+        filter_nans=(VARIANT == "mapnetpp")))
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, T, H, W, 3), jnp.float32))
     imported = convert_state_dict(
@@ -203,8 +216,10 @@ def run_ours(n_steps):
          "batch_stats": variables["batch_stats"]["posenet"]},
         imported,
     )
-    criterion = MapNetCriterion(sax=0.0, saq=-3.0, srx=0.0, srq=-3.0,
-                                learn_beta=True, learn_gamma=True)
+    crit_cls = (MapNetOnlineCriterion if VARIANT == "mapnetpp"
+                else MapNetCriterion)
+    criterion = crit_cls(sax=0.0, saq=-3.0, srx=0.0, srq=-3.0,
+                         learn_beta=True, learn_gamma=True)
     tx = make_optimizer("adam", LR, weight_decay=WEIGHT_DECAY)
     params = {"model": {"posenet": merged["params"]},
               "criterion": criterion.init_params()}
@@ -279,9 +294,18 @@ def map_bn_names(torch_stats, ours_stats):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200)
-    ap.add_argument("--out", type=str, default="docs/TRAIN_PARITY.md")
-    ap.add_argument("--json", type=str, default="docs/train_parity.json")
+    ap.add_argument("--variant", choices=("mapnet", "mapnetpp"),
+                    default="mapnet")
+    ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--json", type=str, default=None)
     args = ap.parse_args()
+    global VARIANT
+    VARIANT = args.variant
+    suffix = "_MAPNETPP" if VARIANT == "mapnetpp" else ""
+    if args.out is None:
+        args.out = f"docs/TRAIN_PARITY{suffix}.md"
+    if args.json is None:
+        args.json = f"docs/train_parity{suffix.lower()}.json"
 
     print(f"reference torch run ({args.steps} steps)...", flush=True)
     ref = run_reference(args.steps)
@@ -333,8 +357,14 @@ def main():
     _, _, _, t_hold = make_data()
 
     def pose_errs(out):
-        flat = out.reshape(-1, 6)
-        tg = t_hold.reshape(-1, 6)
+        if VARIANT == "mapnetpp":
+            # predictions are 2T absolute poses; only the first T rows have
+            # absolute targets (the rest of targ are VOs)
+            flat = out[:, :T].reshape(-1, 6)
+            tg = t_hold[:, :T].reshape(-1, 6)
+        else:
+            flat = out.reshape(-1, 6)
+            tg = t_hold.reshape(-1, 6)
         q = qexp_np(flat[:, 3:])
         qt = qexp_np(tg[:, 3:])
         return (float(np.median(translation_error(flat[:, :3], tg[:, :3]))),
@@ -418,13 +448,20 @@ def main():
          f"{ctl_qerr:.2f}", f"{our_qerr:.2f}"),
     ]
     lines = [
-        "# Long-horizon training parity: reference torch vs geomapnet_tpu",
+        f"# Long-horizon training parity ({VARIANT}): "
+        "reference torch vs geomapnet_tpu",
         "",
-        f"Generated by `tools/train_parity_long.py --steps {args.steps}` "
+        f"Generated by `tools/train_parity_long.py --steps {args.steps} "
+        f"--variant {VARIANT}` "
         f"on {time.strftime('%Y-%m-%d')}. Three runs from the SAME imported "
         f"initial weights on the SAME {N_BATCHES} fixed batches (cycled as "
-        "epochs), Adam lr=1e-4 wd=5e-4, MapNetCriterion learn beta+gamma, "
-        "droprate=0:",
+        "epochs), Adam lr=1e-4 wd=5e-4, "
+        + ("MapNetOnlineCriterion (semi-supervised: T abs + T-1 VO "
+           "targets) learn beta+gamma, filter_nans hooks on (the "
+           "reference's mapnet++-only NaN guard), "
+           if VARIANT == "mapnetpp" else
+           "MapNetCriterion learn beta+gamma, ")
+        + "droprate=0:",
         "",
         "1. **ref** — the reference's VERBATIM stack "
         "(/root/reference/models/posenet.py + common/criterion.py via the "

@@ -36,6 +36,21 @@ from .state import create_train_state, make_eval_step, make_train_step
 __all__ = ["Trainer"]
 
 
+def chunked(iterable, k):
+    """Yield lists of up to ``k`` consecutive items; the final chunk is the
+    (possibly shorter) tail. Shared by the launch-fusion loops (train /
+    validate / scripts/bench_launch_fusion.py): full chunks go through the
+    scanned K-step launch, the tail through single-step launches."""
+    chunk = []
+    for item in iterable:
+        chunk.append(item)
+        if len(chunk) == k:
+            yield chunk
+            chunk = []
+    if chunk:
+        yield chunk
+
+
 class Trainer:
     """Drives training of a PoseNet/MapNet-family model.
 
@@ -347,11 +362,8 @@ class Trainer:
             # launch; the whole chunk's losses come back as one (K,) array
             K = self.steps_per_launch
             n_val = len(self.val_loader)
-            chunk, base = [], 0
-            for item in self.val_loader:
-                chunk.append(item)
-                if len(chunk) < K and base + len(chunk) < n_val:
-                    continue
+            base = 0
+            for chunk in chunked(self.val_loader, K):
                 if len(chunk) == K:
                     k_losses = self._eval_scan(
                         self.state,
@@ -378,7 +390,6 @@ class Trainer:
                             f"Loss {float(chunk_losses[j]):f}"
                         )
                 base += len(chunk)
-                chunk = []
                 end = time.time()
         else:
             for batch_idx, (imgs, poses, pad) in enumerate(self.val_loader):
@@ -436,16 +447,24 @@ class Trainer:
                 jax.profiler.start_trace(self.profile_dir)
                 tracing = True
             n_batches = len(self.train_loader)
+            # per-batch optimizer step, tracked on host: one sync here (epoch
+            # start) instead of per print point; under launch fusion the
+            # device state only reflects post-LAUNCH steps, so per-batch
+            # step/lr attribution must come from this counter
+            host_step = int(self.state.step)
 
-            def emit(batch_idx, loss):
+            def emit(batch_idx, loss, step):
                 # loss readback only at print points — syncing every
                 # batch stalls the dispatch pipeline on the host RTT
                 loss = float(loss)
+                # criterion params (beta/gamma) read from the live state:
+                # exact per batch without fusion, sampled at launch
+                # granularity with steps_per_launch>1
                 cparams = {
                     k: float(v)
                     for k, v in self.state.params["criterion"].items()
                 }
-                lr = float(self._lr_schedule(int(self.state.step)))
+                lr = float(self._lr_schedule(step))
                 print(
                     f"Train {self.experiment}: Epoch {epoch}\t"
                     f"Batch {batch_idx}/{n_batches - 1}\t"
@@ -455,7 +474,7 @@ class Trainer:
                     f"lr: {lr:f}"
                 )
                 self.metrics.write(
-                    kind="train", step=int(self.state.step), epoch=epoch,
+                    kind="train", step=step, epoch=epoch,
                     batch=batch_idx, loss=loss, lr=lr,
                     data_time=data_time.avg,
                     batch_time=batch_time.avg, **cparams,
@@ -466,11 +485,8 @@ class Trainer:
                 # batches, run the scanned step, get all K losses back as
                 # one device array. Timing meters are per-LAUNCH here.
                 K = self.steps_per_launch
-                chunk, base = [], 0
-                for item in self.train_loader:
-                    chunk.append(item)
-                    if len(chunk) < K and base + len(chunk) < n_batches:
-                        continue
+                base = 0
+                for chunk in chunked(self.train_loader, K):
                     data_time.update(time.time() - end)
                     if len(chunk) == K:
                         idx_k = np.stack([c[0] for c in chunk])
@@ -488,15 +504,19 @@ class Trainer:
                                 self.state, idx, poses, self.rng)
                             losses.append(l)
                     if tracing:
+                        # force the launch to EXECUTE before closing the
+                        # trace — dispatch is async and an unforced
+                        # stop_trace records host activity only
+                        float(losses[-1])
                         jax.profiler.stop_trace()
                         tracing = False
                         print(f"Profiler trace written to {self.profile_dir}")
                     batch_time.update(time.time() - end)
                     for j in range(len(chunk)):
                         if (base + j) % cfg.print_freq == 0:
-                            emit(base + j, losses[j])
+                            emit(base + j, losses[j], host_step + j + 1)
+                    host_step += len(chunk)
                     base += len(chunk)
-                    chunk = []
                     end = time.time()
             else:
                 for batch_idx, (imgs, poses, _) in enumerate(
@@ -510,9 +530,10 @@ class Trainer:
                     self.state, loss = self._train_step(
                         self.state, imgs, poses, self.rng
                     )
+                    host_step += 1
                     batch_time.update(time.time() - end)
                     if batch_idx % cfg.print_freq == 0:
-                        emit(batch_idx, loss)
+                        emit(batch_idx, loss, host_step)
                     end = time.time()
             if tracing:
                 jax.profiler.stop_trace()

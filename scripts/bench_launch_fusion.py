@@ -87,16 +87,15 @@ def main():
         epochs_timed = max(1, args.epochs - 1)
         t.start_epoch = 0
         t.config = cfg0
+        import numpy as np
+
+        from geomapnet_tpu.train.loop import chunked
+
         t1 = time.perf_counter()
         for _ in range(epochs_timed):
             if t._train_scan is not None:
-                chunk, base = [], 0
-                for item in t.train_loader:
-                    chunk.append(item)
-                    if len(chunk) < K and base + len(chunk) < n_batches:
-                        continue
+                for chunk in chunked(t.train_loader, K):
                     if len(chunk) == K:
-                        import numpy as np
                         t.state, _ = t._train_scan(
                             t.state,
                             jnp.asarray(np.stack([c[0] for c in chunk])),
@@ -106,8 +105,6 @@ def main():
                         for idx, poses, _ in chunk:
                             i_, p_ = t._put(idx, poses)
                             t.state, _ = t._train_step(t.state, i_, p_, t.rng)
-                    base += len(chunk)
-                    chunk = []
             else:
                 for idx, poses, _ in t.train_loader:
                     i_, p_ = t._put(idx, poses)

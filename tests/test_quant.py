@@ -157,6 +157,35 @@ class TestEvaluateQuantized:
             max(0.1 * abs(ref["median_t"]), 0.05)
 
 
+    def test_evaluate_quantized_device_cache_scan_matches(self):
+        """int8 PTQ composes with the device-cache epoch scan: the scanned
+        gather launch computes what the per-batch loader launch computes."""
+        from geomapnet_tpu.cli.eval import evaluate
+        from geomapnet_tpu.data import MF, SyntheticScene
+        from geomapnet_tpu.losses import MapNetCriterion
+        from geomapnet_tpu.train import create_train_state, make_optimizer
+
+        model = MapNet(posenet=_posenet())
+        ds = MF(SyntheticScene(n_frames=16, height=64, width=96, train=False),
+                steps=3, skip=1)
+        tx = make_optimizer("adam", 1e-4)
+        state = create_train_state(
+            model, MapNetCriterion(), tx, jax.random.PRNGKey(0),
+            jnp.zeros((1, 3, 64, 96, 3)),
+        )
+        base = evaluate(model, state, ds, batch_size=4, progress=False,
+                        quantize=True, use_mesh=False)
+        dc = evaluate(model, state, ds, batch_size=4, progress=False,
+                      quantize=True, device_cache=True, use_mesh=False)
+        # scan and per-batch are separately compiled programs; the DYNAMIC
+        # activation absmax can differ by an ulp between them, which moves
+        # the int8 scale one quantization level (~1% on these outputs) —
+        # so the bound is quant-grid-sized, not float-noise-sized
+        np.testing.assert_allclose(dc["pred_poses"], base["pred_poses"],
+                                   rtol=0, atol=0.03)
+        assert abs(dc["median_t"] - base["median_t"]) < 0.02
+
+
 class TestShardedEvaluate:
     """evaluate() runs data-parallel over the virtual 8-device mesh and
     matches the single-device result (float and int8)."""

@@ -98,8 +98,10 @@ def make_data():
     (B, 2T-1, 6): T absolute poses then T-1 VO targets (the reference's
     MapNetOnlineCriterion contract, common/criterion.py:139-152).
     """
-    frames = 2 * T if VARIANT == "mapnetpp" else T
-    t_rows = 2 * T - 1 if VARIANT == "mapnetpp" else T
+    frames = T if VARIANT == "mapnet" else 2 * T
+    # VO mode: T abs + (T-1) VOs; gps mode: T abs + T gps positions
+    t_rows = {"mapnet": T, "mapnetpp": 2 * T - 1,
+              "mapnetpp_gps": 2 * T}[VARIANT]
     xs, ts = [], []
     for i in range(N_BATCHES + 1):
         xs.append(fixed_input((BATCH, frames, 3, H, W), phase=0.9 + 0.37 * i))
@@ -126,7 +128,7 @@ def run_reference(n_steps, perturb_ulp: bool = False):
     ref = load_reference_posenet_module()
     pn = ref.PoseNet(feature_extractor=ResNet34(), droprate=0.0,
                      pretrained=False, feat_dim=FEAT_DIM,
-                     filter_nans=(VARIANT == "mapnetpp"))
+                     filter_nans=VARIANT.startswith("mapnetpp"))
     sd = synthetic_posenet_state_dict(feat_dim=FEAT_DIM)
     if perturb_ulp:
         rng = np.random.default_rng(7)
@@ -141,10 +143,14 @@ def run_reference(n_steps, perturb_ulp: bool = False):
     pn.load_state_dict(sd, strict=True)
     model = ref.MapNet(mapnet=pn)
     model.train()
-    crit_cls = (CR.MapNetOnlineCriterion if VARIANT == "mapnetpp"
-                else CR.MapNetCriterion)
-    crit = crit_cls(sax=0.0, saq=-3.0, srx=0.0, srq=-3.0,
-                    learn_beta=True, learn_gamma=True)
+    if VARIANT == "mapnet":
+        crit = CR.MapNetCriterion(sax=0.0, saq=-3.0, srx=0.0, srq=-3.0,
+                                  learn_beta=True, learn_gamma=True)
+    else:
+        crit = CR.MapNetOnlineCriterion(
+            sax=0.0, saq=-3.0, srx=0.0, srq=-3.0,
+            learn_beta=True, learn_gamma=True,
+            gps_mode=(VARIANT == "mapnetpp_gps"))
     params = list(model.parameters()) + list(crit.parameters())
     opt = torch.optim.Adam(params, lr=LR, weight_decay=WEIGHT_DECAY)
 
@@ -204,7 +210,7 @@ def run_ours(n_steps):
     model = MapNet(posenet=PoseNet(
         feature_extractor=resnet34(dtype=jnp.float32),
         feat_dim=FEAT_DIM, droprate=0.0,
-        filter_nans=(VARIANT == "mapnetpp")))
+        filter_nans=VARIANT.startswith("mapnetpp")))
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, T, H, W, 3), jnp.float32))
     imported = convert_state_dict(
@@ -216,10 +222,14 @@ def run_ours(n_steps):
          "batch_stats": variables["batch_stats"]["posenet"]},
         imported,
     )
-    crit_cls = (MapNetOnlineCriterion if VARIANT == "mapnetpp"
-                else MapNetCriterion)
-    criterion = crit_cls(sax=0.0, saq=-3.0, srx=0.0, srq=-3.0,
-                         learn_beta=True, learn_gamma=True)
+    if VARIANT == "mapnet":
+        criterion = MapNetCriterion(sax=0.0, saq=-3.0, srx=0.0, srq=-3.0,
+                                    learn_beta=True, learn_gamma=True)
+    else:
+        criterion = MapNetOnlineCriterion(
+            sax=0.0, saq=-3.0, srx=0.0, srq=-3.0,
+            learn_beta=True, learn_gamma=True,
+            gps_mode=(VARIANT == "mapnetpp_gps"))
     tx = make_optimizer("adam", LR, weight_decay=WEIGHT_DECAY)
     params = {"model": {"posenet": merged["params"]},
               "criterion": criterion.init_params()}
@@ -294,14 +304,16 @@ def map_bn_names(torch_stats, ours_stats):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200)
-    ap.add_argument("--variant", choices=("mapnet", "mapnetpp"),
+    ap.add_argument("--variant",
+                    choices=("mapnet", "mapnetpp", "mapnetpp_gps"),
                     default="mapnet")
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--json", type=str, default=None)
     args = ap.parse_args()
     global VARIANT
     VARIANT = args.variant
-    suffix = "_MAPNETPP" if VARIANT == "mapnetpp" else ""
+    suffix = {"mapnet": "", "mapnetpp": "_MAPNETPP",
+              "mapnetpp_gps": "_MAPNETPP_GPS"}[VARIANT]
     if args.out is None:
         args.out = f"docs/TRAIN_PARITY{suffix}.md"
     if args.json is None:
@@ -357,9 +369,9 @@ def main():
     _, _, _, t_hold = make_data()
 
     def pose_errs(out):
-        if VARIANT == "mapnetpp":
+        if VARIANT.startswith("mapnetpp"):
             # predictions are 2T absolute poses; only the first T rows have
-            # absolute targets (the rest of targ are VOs)
+            # absolute targets (the rest of targ are VOs / gps positions)
             flat = out[:, :T].reshape(-1, 6)
             tg = t_hold[:, :T].reshape(-1, 6)
         else:
@@ -456,10 +468,11 @@ def main():
         f"on {time.strftime('%Y-%m-%d')}. Three runs from the SAME imported "
         f"initial weights on the SAME {N_BATCHES} fixed batches (cycled as "
         "epochs), Adam lr=1e-4 wd=5e-4, "
-        + ("MapNetOnlineCriterion (semi-supervised: T abs + T-1 VO "
-           "targets) learn beta+gamma, filter_nans hooks on (the "
+        + ("MapNetOnlineCriterion (semi-supervised: T abs + "
+           + ("T gps-position" if VARIANT == "mapnetpp_gps" else "T-1 VO")
+           + " targets) learn beta+gamma, filter_nans hooks on (the "
            "reference's mapnet++-only NaN guard), "
-           if VARIANT == "mapnetpp" else
+           if VARIANT.startswith("mapnetpp") else
            "MapNetCriterion learn beta+gamma, ")
         + "droprate=0:",
         "",

@@ -43,6 +43,19 @@ from .config import parse_ini
 
 __all__ = ["evaluate", "main"]
 
+# Compiled epoch-scan cache for repeated device-cache evals (PGO sweeps,
+# checkpoint ladders, serving loops): ``jax.jit`` only reuses a compiled
+# program through the SAME wrapper object, and a wrapper built inside
+# ``evaluate()`` dies with the call — every eval re-paid trace + compile
+# inside the timed epoch (measured: the scanned one-launch epoch clocked
+# no faster than the per-batch loop until this landed). Keyed on the
+# semantic closure (model/preprocess identity, quantize flags, mesh
+# devices); strong refs to model/preprocess are stored so ids can't be
+# recycled by the allocator. Shapes are NOT part of the key — jit keys its
+# own program cache on argument shapes.
+_SCAN_CACHE: dict = {}
+_SCAN_CACHE_MAX = 8
+
 
 def evaluate(model, state, dataset, **kwargs) -> dict:
     """Run batched evaluation over an MF (or plain frame) dataset.
@@ -179,14 +192,20 @@ def _evaluate(
                          jnp.bfloat16)
         )
 
-        def step_core(state_, images, targets=None, rng=None):
+        # the prepared pytree rides as the step's state ARGUMENT (not a
+        # traced constant): weights aren't baked into the XLA program, so
+        # the compiled step is reusable across checkpoints/calibrations
+        def step_core(qtree_, images, targets=None, rng=None):
             if preprocess is not None:
                 images = preprocess(images)
             fn = mapnet_apply_int8 if images.ndim == 5 else posenet_apply_int8
-            return jnp.zeros(()), fn(qtree, images, dtype=apply_dtype)
+            return jnp.zeros(()), fn(qtree_, images, dtype=apply_dtype)
+
+        scan_state = qtree
     else:
         step_core = make_eval_step(model, None, preprocess=preprocess,
                                    stochastic=stochastic)
+        scan_state = state
     eval_step = None if use_device_cache else _jit_step(step_core)
     eval_rng = jax.random.PRNGKey(seed)
 
@@ -257,31 +276,44 @@ def _evaluate(
             if stochastic else jnp.zeros((n_batches, 2), jnp.uint32)
         )
 
-        def epoch_scan(state_, buf_, idx_batches, rngs):
-            def body(carry, xs):
-                ib, rng = xs
-                _, out = step_core(
-                    state_, buf_[ib if is_tuple else ib[:, 0]], None,
-                    rng if stochastic else None)
-                return carry, (out if out.ndim == 3 else out[:, None, :])
-            _, outs = jax.lax.scan(body, 0, (idx_batches, rngs))
-            return outs
-
         if progress:
             print(f"eval: scanning {n_batches} batches in one launch"
                   + (f" over {n_dev} devices" if mesh is not None else ""))
-        if mesh is None:
-            scan_jit = jax.jit(epoch_scan)
+        scan_key = (
+            id(model), id(preprocess), bool(quantize), bool(fold_bn),
+            bool(quantize_heads), bool(stochastic), is_tuple,
+            None if mesh is None else tuple(mesh.devices.flat),
+        )
+        cached = _SCAN_CACHE.get(scan_key)
+        if cached is not None:
+            scan_jit = cached[0]
         else:
-            # dp over the scan: the index tensor shards on its BATCH axis
-            # (each device evaluates its slice of every scanned batch
-            # against its local replica of the frame buffer)
-            from jax.sharding import NamedSharding, PartitionSpec
+            def epoch_scan(state_, buf_, idx_batches, rngs):
+                def body(carry, xs):
+                    ib, rng = xs
+                    _, out = step_core(
+                        state_, buf_[ib if is_tuple else ib[:, 0]], None,
+                        rng if stochastic else None)
+                    return carry, (out if out.ndim == 3 else out[:, None, :])
+                _, outs = jax.lax.scan(body, 0, (idx_batches, rngs))
+                return outs
 
-            rep = replicated(mesh)
-            d2 = NamedSharding(mesh, PartitionSpec(None, "data"))
-            scan_jit = jax.jit(epoch_scan, in_shardings=(rep, rep, d2, rep))
-        outs = scan_jit(state, frame_buf, jnp.asarray(idx_all), rngs_all)
+            if mesh is None:
+                scan_jit = jax.jit(epoch_scan)
+            else:
+                # dp over the scan: the index tensor shards on its BATCH
+                # axis (each device evaluates its slice of every scanned
+                # batch against its local replica of the frame buffer)
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                rep = replicated(mesh)
+                d2 = NamedSharding(mesh, PartitionSpec(None, "data"))
+                scan_jit = jax.jit(
+                    epoch_scan, in_shardings=(rep, rep, d2, rep))
+            while len(_SCAN_CACHE) >= _SCAN_CACHE_MAX:
+                _SCAN_CACHE.pop(next(iter(_SCAN_CACHE)))
+            _SCAN_CACHE[scan_key] = (scan_jit, model, preprocess)
+        outs = scan_jit(scan_state, frame_buf, jnp.asarray(idx_all), rngs_all)
         outs_np = np.asarray(outs, np.float64)  # (n_batches, B, T, 6)
 
         for batch_idx in range(n_batches):
@@ -338,7 +370,7 @@ def _evaluate(
                 x = _shard_batch(x, mesh)
             rng = (jax.random.fold_in(eval_rng, batch_idx)
                    if stochastic else None)
-            _, output = eval_step(state, x, None, rng)
+            _, output = eval_step(scan_state, x, None, rng)
             dev_outputs.append(
                 output if output.ndim == 3 else output[:, None, :])
             targ = np.asarray(poses, np.float64)

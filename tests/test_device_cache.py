@@ -96,6 +96,41 @@ class TestDeviceCachedEval:
         np.testing.assert_array_equal(again["pred_poses"],
                                       first["pred_poses"])
 
+    def test_epoch_scan_compiled_once_across_calls(self, mapnet_state):
+        """Repeated evals (PGO sweeps, checkpoint ladders) must reuse the
+        compiled epoch scan: a jit wrapper rebuilt per call re-paid trace +
+        compile inside every epoch (measured on hardware: the one-launch
+        scan clocked no faster than the per-batch loop until cached)."""
+        from geomapnet_tpu.cli import eval as eval_mod
+
+        model, state = mapnet_state
+        val = MF(SyntheticScene(n_frames=16, height=32, width=48,
+                                train=False), steps=3, skip=2)
+        eval_mod._SCAN_CACHE.clear()
+        first = evaluate(model, state, val, batch_size=8, progress=False,
+                         device_cache=True, use_mesh=False)
+        assert len(eval_mod._SCAN_CACHE) == 1
+        (scan_jit, m_ref, _), = eval_mod._SCAN_CACHE.values()
+        assert m_ref is model
+        traced_before = scan_jit._cache_size()
+        again = evaluate(model, state, val, batch_size=8, progress=False,
+                         device_cache=first["device_frames"],
+                         use_mesh=False)
+        # same wrapper object survived and was NOT re-traced
+        assert len(eval_mod._SCAN_CACHE) == 1
+        assert next(iter(eval_mod._SCAN_CACHE.values()))[0] is scan_jit
+        assert scan_jit._cache_size() == traced_before
+        np.testing.assert_array_equal(again["pred_poses"],
+                                      first["pred_poses"])
+        # updated weights flow through the cached program as an argument
+        bumped = state.replace(params=jax.tree.map(
+            lambda p: p + 0.01, state.params))
+        moved = evaluate(model, bumped, val, batch_size=8, progress=False,
+                         device_cache=first["device_frames"],
+                         use_mesh=False)
+        assert scan_jit._cache_size() == traced_before
+        assert not np.allclose(moved["pred_poses"], first["pred_poses"])
+
     def test_pgo_targets_carry_vos(self, mapnet_state):
         from geomapnet_tpu.data import vos_logq_np
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import pickle
+import threading
 import time
 from pathlib import Path
 
@@ -55,6 +56,7 @@ __all__ = ["evaluate", "main"]
 # own program cache on argument shapes.
 _SCAN_CACHE: dict = {}
 _SCAN_CACHE_MAX = 8
+_SCAN_CACHE_LOCK = threading.Lock()
 
 
 def evaluate(model, state, dataset, **kwargs) -> dict:
@@ -103,6 +105,7 @@ def _evaluate(
     fold_bn: bool = False,
     calib_batches: int = 0,
     quantize_heads: bool = False,
+    fuse_requant: bool = False,
     use_mesh: bool = True,
     device_cache=False,
 ) -> dict:
@@ -195,11 +198,17 @@ def _evaluate(
         # the prepared pytree rides as the step's state ARGUMENT (not a
         # traced constant): weights aren't baked into the XLA program, so
         # the compiled step is reusable across checkpoints/calibrations
+        if fuse_requant and not (quantize and calib_batches):
+            raise ValueError(
+                "--fuse_requant needs --quantize int8 with --calibrate N "
+                "(static scales on every site)")
+
         def step_core(qtree_, images, targets=None, rng=None):
             if preprocess is not None:
                 images = preprocess(images)
             fn = mapnet_apply_int8 if images.ndim == 5 else posenet_apply_int8
-            return jnp.zeros(()), fn(qtree_, images, dtype=apply_dtype)
+            return jnp.zeros(()), fn(qtree_, images, dtype=apply_dtype,
+                                     fused=fuse_requant)
 
         scan_state = qtree
     else:
@@ -281,10 +290,16 @@ def _evaluate(
                   + (f" over {n_dev} devices" if mesh is not None else ""))
         scan_key = (
             id(model), id(preprocess), bool(quantize), bool(fold_bn),
-            bool(quantize_heads), bool(stochastic), is_tuple,
+            bool(quantize_heads), bool(fuse_requant), bool(stochastic),
+            is_tuple,
             None if mesh is None else tuple(mesh.devices.flat),
         )
-        cached = _SCAN_CACHE.get(scan_key)
+        with _SCAN_CACHE_LOCK:
+            cached = _SCAN_CACHE.get(scan_key)
+            if cached is not None:
+                # refresh recency (LRU, not FIFO): without this, alternating
+                # among >MAX configs evicts the hottest entry every pass
+                _SCAN_CACHE[scan_key] = _SCAN_CACHE.pop(scan_key)
         if cached is not None:
             scan_jit = cached[0]
         else:
@@ -310,9 +325,12 @@ def _evaluate(
                 d2 = NamedSharding(mesh, PartitionSpec(None, "data"))
                 scan_jit = jax.jit(
                     epoch_scan, in_shardings=(rep, rep, d2, rep))
-            while len(_SCAN_CACHE) >= _SCAN_CACHE_MAX:
-                _SCAN_CACHE.pop(next(iter(_SCAN_CACHE)))
-            _SCAN_CACHE[scan_key] = (scan_jit, model, preprocess)
+            # a duplicate compile under a concurrent-eval race is harmless;
+            # the insert is last-writer-wins under the lock
+            with _SCAN_CACHE_LOCK:
+                while len(_SCAN_CACHE) >= _SCAN_CACHE_MAX:
+                    _SCAN_CACHE.pop(next(iter(_SCAN_CACHE)))
+                _SCAN_CACHE[scan_key] = (scan_jit, model, preprocess)
         outs = scan_jit(scan_state, frame_buf, jnp.asarray(idx_all), rngs_all)
         outs_np = np.asarray(outs, np.float64)  # (n_batches, B, T, 6)
 
@@ -556,6 +574,11 @@ def main(argv=None):
         "--quantize_heads", action="store_true",
         help="with --quantize: run the fc_feat head matmul in int8 too",
     )
+    parser.add_argument(
+        "--fuse_requant", action="store_true",
+        help="with --quantize + --calibrate: int8 dataflow — requantization "
+        "fused into each conv's epilogue, inter-layer activations stay int8",
+    )
     args = parser.parse_args(argv)
 
     config = parse_ini(args.config_file)
@@ -667,6 +690,7 @@ def main(argv=None):
         fold_bn=args.fold_bn,
         calib_batches=args.calibrate,
         quantize_heads=args.quantize_heads,
+        fuse_requant=args.fuse_requant,
         device_cache=args.device_cache,
     )
 

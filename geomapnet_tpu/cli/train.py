@@ -97,7 +97,15 @@ def main(argv=None):
         "--device_cache", action="store_true",
         help="upload each split's frames to HBM once and feed training by "
         "on-device index gather: no host decode or image transfer after "
-        "the first epoch (replicated over the device mesh; single-process)",
+        "the first epoch (replicated over the device mesh; under "
+        "jax.distributed each process decodes only its shard)",
+    )
+    parser.add_argument(
+        "--ingest_overlap", action="store_true",
+        help="with --device_cache: overlap the first epoch's decode with "
+        "training (warmup epoch feeds from the image loader while staging "
+        "frames; the cache finalizes at epoch end) instead of paying the "
+        "full scene decode before the first step",
     )
     parser.add_argument(
         "--steps_per_launch", type=int, default=1, metavar="K",
@@ -186,6 +194,7 @@ def main(argv=None):
         tensorboard=args.tensorboard or config.visdom,
         device_cache=args.device_cache,
         steps_per_launch=args.steps_per_launch,
+        ingest_overlap=args.ingest_overlap,
     )
 
     if args.pretrained_npz and checkpoint is not None:

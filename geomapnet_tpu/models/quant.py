@@ -150,7 +150,23 @@ def _prepare_tree(variables: Mapping, stage_sizes, fold,
             "m": w_scale.astype(np.float32),
             "b": np.asarray(heads["fc_feat"]["bias"], np.float32),
         }
-    return {"trunk": trunk, "heads": heads, "stage_sizes": tuple(stage_sizes)}
+    return {"trunk": trunk, "heads": heads}
+
+
+def _stage_sizes(trunk: Mapping) -> tuple:
+    """Recover (n_blocks per stage) from the trunk's ``layer{s}_{b}`` keys.
+
+    Dict keys are static under jit, so deriving the block structure here —
+    instead of carrying Python ints as pytree leaves — lets a prepared tree
+    ride as a *traced jit argument* (weights not baked into the program)
+    without its structure metadata turning into tracers.
+    """
+    counts: dict[int, int] = {}
+    for k in trunk:
+        if k.startswith("layer"):
+            s, b = k[5:].split("_")
+            counts[int(s)] = max(counts.get(int(s), 0), int(b) + 1)
+    return tuple(counts[s] for s in sorted(counts))
 
 
 def quantize_posenet_variables(variables: Mapping, stage_sizes=(3, 4, 6, 3),
@@ -249,7 +265,7 @@ def _trunk_forward(qtree: Mapping, x: jnp.ndarray, dtype=jnp.bfloat16,
         x, jnp.asarray(-jnp.inf, x.dtype), lax.max,
         (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)],
     )
-    for stage, n_blocks in enumerate(qtree["stage_sizes"]):
+    for stage, n_blocks in enumerate(_stage_sizes(trunk)):
         for block in range(n_blocks):
             # same static rule as models/resnet.py: stages after the first
             # open with a stride-2 block (resnet50's layer1.0 has a
@@ -266,7 +282,7 @@ def _iter_sites(qtree: Mapping):
     """Yield conv-site dicts in exactly ``_trunk_forward``'s visit order."""
     trunk = qtree["trunk"]
     yield trunk["conv1"]
-    for stage, n_blocks in enumerate(qtree["stage_sizes"]):
+    for stage, n_blocks in enumerate(_stage_sizes(trunk)):
         for block in range(n_blocks):
             blk = trunk[f"layer{stage + 1}_{block}"]
             for key in ("conv1", "conv2", "conv3", "downsample"):
@@ -312,6 +328,105 @@ def calibrate_activation_scales(qtree: Mapping, batches,
     return out
 
 
+def _q8(x: jnp.ndarray, x_scale) -> jnp.ndarray:
+    """Symmetric per-tensor quantize to int8 at a known (static) scale."""
+    return jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+
+
+def _conv_acc(qx: jnp.ndarray, q: Mapping, strides, padding) -> jnp.ndarray:
+    """int8 x int8 conv -> int32 accumulator (MXU native rate)."""
+    dn = lax.conv_dimension_numbers(qx.shape, q["qkernel"].shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    return lax.conv_general_dilated(
+        qx, q["qkernel"], strides, padding, dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _site_scale(q: Mapping) -> jnp.ndarray:
+    return jnp.asarray(q["x_scale"], jnp.float32)
+
+
+def _deq(acc: jnp.ndarray, q: Mapping, s_in) -> jnp.ndarray:
+    """Dequantize a conv accumulator: BN-folded affine in f32."""
+    return acc.astype(jnp.float32) * (q["m"] * s_in) + q["b"]
+
+
+def _fused_basic_block(qx: jnp.ndarray, s_in, q: Mapping, stride, s_out):
+    """Basic block with int8 dataflow: int8 in (scale ``s_in``), int8 out
+    (scale ``s_out``), or float out when ``s_out`` is None (last block).
+
+    The conv1->relu->conv2 chain never materializes a float activation in
+    HBM: conv1's epilogue dequantizes, relus and REquantizes straight to
+    conv2's static input scale, so the inter-conv tensor is 1 byte/elem
+    (half the bf16 traffic) and the requant ops fuse into the conv's output
+    fusion instead of standing as separate loop fusions at the next conv's
+    input (the 4.5% "loop fusion" share in PERF.md round 3's int8 profile).
+    The identity branch rides as int8 too and dequantizes inside the final
+    add's fusion (same rounding the branch already suffered when the
+    unfused path quantized it for conv1).
+    """
+    y1 = jax.nn.relu(_deq(_conv_acc(qx, q["conv1"], stride,
+                                    [(1, 1), (1, 1)]), q["conv1"], s_in))
+    q1 = _q8(y1, _site_scale(q["conv2"]))
+    y2 = _deq(_conv_acc(q1, q["conv2"], (1, 1), [(1, 1), (1, 1)]),
+              q["conv2"], _site_scale(q["conv2"]))
+    if "downsample" in q:
+        idn = _deq(_conv_acc(qx, q["downsample"], stride, [(0, 0), (0, 0)]),
+                   q["downsample"], s_in)
+    else:
+        idn = qx.astype(jnp.float32) * s_in
+    out = jax.nn.relu(y2 + idn)
+    return _q8(out, s_out) if s_out is not None else out
+
+
+def _trunk_forward_fused(qtree: Mapping, x: jnp.ndarray,
+                         dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Static-scale int8 trunk with FUSED requantization (int8 dataflow).
+
+    Requires calibrated scales on every site and basic (2-conv) blocks; the
+    bottleneck/dynamic/folded variants keep using :func:`_trunk_forward`.
+    Inter-site activations stay int8 end to end — stem relu+maxpool included
+    (max-pooling commutes with the monotone quantization, so the pool runs
+    on int8 directly).
+    """
+    trunk = qtree["trunk"]
+    stages = _stage_sizes(trunk)
+    blocks = [trunk[f"layer{s + 1}_{b}"]
+              for s, n in enumerate(stages) for b in range(n)]
+
+    c1 = trunk["conv1"]
+    s_in = _site_scale(c1)
+    y = _deq(_conv_acc(_q8(x.astype(jnp.float32), s_in), c1, (2, 2),
+                       [(3, 3), (3, 3)]), c1, s_in)
+    y = jax.nn.relu(y)
+    qy = _q8(y, _site_scale(blocks[0]["conv1"]))
+    qy = lax.reduce_window(
+        qy, jnp.asarray(-127, jnp.int8), lax.max,
+        (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+
+    flat_strides = [
+        (2, 2) if (stage > 0 and block == 0) else (1, 1)
+        for stage, n in enumerate(stages) for block in range(n)
+    ]
+    for i, (q, stride) in enumerate(zip(blocks, flat_strides)):
+        s_out = (_site_scale(blocks[i + 1]["conv1"])
+                 if i + 1 < len(blocks) else None)
+        qy = _fused_basic_block(qy, _site_scale(q["conv1"]), q, stride,
+                                s_out)
+    return jnp.mean(qy, axis=(1, 2)).astype(dtype)
+
+
+def _is_fusable(qtree: Mapping) -> bool:
+    """Fused dataflow needs static scales everywhere and basic blocks only."""
+    sites = list(_iter_sites(qtree))
+    return all("qkernel" in s and "x_scale" in s for s in sites) and not any(
+        "conv3" in qtree["trunk"][k] for k in qtree["trunk"]
+        if k.startswith("layer")
+    )
+
+
 def _apply_heads(qtree: Mapping, feat: jnp.ndarray, dtype) -> jnp.ndarray:
     heads = qtree["heads"]
 
@@ -341,18 +456,34 @@ def _apply_heads(qtree: Mapping, feat: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 def posenet_apply_int8(qtree: Mapping, images: jnp.ndarray,
-                       dtype=jnp.bfloat16) -> jnp.ndarray:
-    """(N, H, W, 3) -> (N, 6) poses via the int8 trunk + float heads."""
-    feat = _trunk_forward(qtree, images.astype(dtype), dtype)
+                       dtype=jnp.bfloat16, fused: bool = False
+                       ) -> jnp.ndarray:
+    """(N, H, W, 3) -> (N, 6) poses via the int8 trunk + float heads.
+
+    ``fused=True`` (static-calibrated basic-block trees only) switches to
+    the int8-dataflow trunk (:func:`_trunk_forward_fused`): requantization
+    runs in each conv's epilogue and inter-site activations stay int8 —
+    half the activation HBM traffic of the bf16-linked path. Raises if the
+    tree isn't fusable (dynamic scales / bottleneck blocks / folded float).
+    """
+    if fused:
+        if not _is_fusable(qtree):
+            raise ValueError(
+                "fused requant needs calibrated static scales on every "
+                "site and a basic-block (resnet18/34) trunk")
+        feat = _trunk_forward_fused(qtree, images, dtype)
+    else:
+        feat = _trunk_forward(qtree, images.astype(dtype), dtype)
     return _apply_heads(qtree, feat, dtype)
 
 
 def mapnet_apply_int8(qtree: Mapping, images: jnp.ndarray,
-                      dtype=jnp.bfloat16) -> jnp.ndarray:
+                      dtype=jnp.bfloat16, fused: bool = False
+                      ) -> jnp.ndarray:
     """(N, T, H, W, 3) -> (N, T, 6): shared-weight PoseNet per frame."""
     n, t = images.shape[:2]
     flat = images.reshape(n * t, *images.shape[2:])
-    out = posenet_apply_int8(qtree, flat, dtype)
+    out = posenet_apply_int8(qtree, flat, dtype, fused=fused)
     return out.reshape(n, t, 6)
 
 

@@ -74,8 +74,10 @@ class Trainer:
         (:mod:`geomapnet_tpu.data.device_cache`) — removes host decode AND
         the per-batch image transfer from every epoch after the first. On a
         multi-device mesh the buffer replicates and each device gathers its
-        own batch shard locally; single-process only (falls back with a
-        note under jax.distributed)
+        own batch shard locally. Under jax.distributed each process decodes
+        only its shard of the frames and ONE interconnect all-gather
+        replicates the stack (:func:`~geomapnet_tpu.data.device_cache.
+        upload_frames_global`)
     :param steps_per_launch: with ``device_cache``, fuse this many optimizer
         steps into ONE device launch (a ``lax.scan`` over stacked index
         batches). Semantics are bit-identical to launching each step —
@@ -84,6 +86,16 @@ class Trainer:
         rigs, PERF.md "device-resident frames") is paid once per K steps.
         Losses for all K steps come back as one array, so per-batch
         logging is unchanged. Ignored without ``device_cache``.
+    :param ingest_overlap: with ``device_cache``, overlap the first epoch's
+        decode with training instead of paying it serially before the first
+        step: the warmup epoch trains straight from the image loader (whose
+        prefetch thread already overlaps decode with compute) while a
+        :class:`~geomapnet_tpu.data.device_cache.FrameRecorder` captures
+        every decoded frame; the cache finalizes at epoch end from the
+        staged frames (decode still paid exactly once). Epoch-1 wall drops
+        from ``decode_all + train_epoch`` to ``~max(decode, train)``.
+        Single-process, single-frame-source datasets only (multi-host uses
+        the sharded :func:`upload_frames_global` path instead).
     """
 
     def __init__(
@@ -106,6 +118,7 @@ class Trainer:
         accum_steps: int = 1,
         device_cache: bool = False,
         steps_per_launch: int = 1,
+        ingest_overlap: bool = False,
     ):
         self.model = model
         self.config = config
@@ -146,10 +159,6 @@ class Trainer:
                   f"local batch {local_bs}")
         print("---------------------------------------")
 
-        if device_cache and self.process_count > 1:
-            print("trainer: device_cache is single-process; using the "
-                  "loader path")
-            device_cache = False
         if device_cache:
             # cached frames are post-transform: a stochastic host jitter
             # (RobotCar color_jitter) would freeze one draw for all epochs
@@ -172,6 +181,9 @@ class Trainer:
             max(1, int(steps_per_launch)) if device_cache else 1)
         self._train_scan = None
         self._eval_scan = None
+        self._warmup_pending = False
+        self._recorder = None
+        self._val_shares_train = False
 
         loader_kwargs = dict(
             process_index=self.process_index, process_count=self.process_count,
@@ -243,17 +255,58 @@ class Trainer:
                 frame_sources, upload_dataset_frames,
             )
 
-            self._train_frames = upload_dataset_frames(
-                train_dataset, num_workers=config.num_workers)
-            self._val_frames = (
-                self._train_frames
-                if (self.val_loader is not None
-                    and frame_sources(val_dataset)
-                    == frame_sources(train_dataset))
-                else upload_dataset_frames(val_dataset,
-                                           num_workers=config.num_workers)
-                if self.val_loader is not None else None
+            srcs = frame_sources(train_dataset)
+            self._val_shares_train = (
+                self.val_loader is not None
+                and frame_sources(val_dataset) == srcs
             )
+            self._warmup_pending = (
+                ingest_overlap and self.process_count == 1 and len(srcs) == 1
+            )
+            if ingest_overlap and not self._warmup_pending:
+                print("trainer: ingest_overlap needs a single-process run "
+                      "and a single frame source; using the serial upload")
+            # multi-host (jax.distributed): each process decodes only its
+            # shard of the frames; one interconnect all-gather replicates
+            # the stack (upload_frames_global) — no fallback to the loader
+            up_mesh = self.mesh if self.process_count > 1 else None
+            if self._warmup_pending:
+                # ingest overlap: the warmup epoch trains from this image
+                # loader while the recorder stages every decoded frame; the
+                # cache finalizes at epoch end (_finalize_device_cache)
+                from ..data.device_cache import FrameRecorder
+
+                self._recorder = FrameRecorder(srcs[0]).install()
+                self._train_frames = None
+                self._warmup_loader = Loader(
+                    train_dataset, local_bs, shuffle=config.shuffle,
+                    drop_last=True, seed=config.seed,
+                    num_workers=config.num_workers,
+                )
+                self._warmup_val_loader = (
+                    Loader(val_dataset, local_bs, shuffle=False,
+                           drop_last=False, seed=config.seed,
+                           num_workers=config.num_workers)
+                    if (self.val_loader is not None
+                        and self._val_shares_train) else None
+                )
+                self._val_frames = (
+                    upload_dataset_frames(val_dataset,
+                                          num_workers=config.num_workers)
+                    if (self.val_loader is not None
+                        and not self._val_shares_train) else None
+                )
+            else:
+                self._train_frames = upload_dataset_frames(
+                    train_dataset, mesh=up_mesh,
+                    num_workers=config.num_workers)
+                self._val_frames = (
+                    self._train_frames
+                    if self._val_shares_train
+                    else upload_dataset_frames(val_dataset, mesh=up_mesh,
+                                               num_workers=config.num_workers)
+                    if self.val_loader is not None else None
+                )
 
             def _ts_fn(s, idx, poses, rng, buf):
                 return train_step(s, buf[idx], poses, rng)
@@ -264,10 +317,16 @@ class Trainer:
             if self.mesh is not None and self.mesh.devices.size > 1:
                 # pin the buffers replicated ONCE — an uncommitted
                 # single-device arg would re-broadcast on every call
-                rep = replicated(self.mesh)
-                self._train_frames = jax.device_put(self._train_frames, rep)
-                if self._val_frames is not None:
-                    self._val_frames = jax.device_put(self._val_frames, rep)
+                # (the multi-host path already returns them replicated;
+                # warmup buffers replicate in _finalize_device_cache)
+                if self.process_count == 1:
+                    rep = replicated(self.mesh)
+                    if self._train_frames is not None:
+                        self._train_frames = jax.device_put(
+                            self._train_frames, rep)
+                    if self._val_frames is not None:
+                        self._val_frames = jax.device_put(
+                            self._val_frames, rep)
                 _ts = shard_step(_ts_fn, self.mesh, n_batch_args=2,
                                  n_state_args=1, n_replicated_args=2,
                                  donate_state=True)
@@ -329,6 +388,23 @@ class Trainer:
                 self._eval_scan = (
                     lambda s, idx_k, poses_k: _esk(
                         s, idx_k, poses_k, self._val_frames))
+
+            if self._warmup_pending:
+                # image-fed steps for the warmup epoch only (epochs 2+ run
+                # the index-gather steps above)
+                if self.mesh is not None and self.mesh.devices.size > 1:
+                    self._img_train_step = shard_step(
+                        train_step, self.mesh, n_batch_args=2,
+                        n_replicated_args=1, donate_state=True,
+                    )
+                    self._img_eval_step = shard_step(
+                        eval_step, self.mesh, n_batch_args=2,
+                        donate_state=False,
+                    )
+                else:
+                    self._img_train_step = jax.jit(train_step,
+                                                   donate_argnums=(0,))
+                    self._img_eval_step = jax.jit(eval_step)
         elif self.mesh is not None and self.mesh.devices.size > 1:
             self._train_step = shard_step(
                 train_step, self.mesh, n_batch_args=2, n_replicated_args=1,
@@ -351,30 +427,75 @@ class Trainer:
             batch = shard_batch(batch, self.mesh)
         return batch
 
+    def _put_scan(self, idx_k, poses_k):
+        """Place (K, B, ...) launch-fusion stacks: batch axis 1 shards over
+        'data'; multi-host assembles each process's local stack into the
+        global array (axis 1 = process-concatenated local batches)."""
+        if self.process_count > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+            return tuple(
+                jax.make_array_from_process_local_data(sh, x)
+                for x in (idx_k, poses_k)
+            )
+        return jax.numpy.asarray(idx_k), jax.numpy.asarray(poses_k)
+
+    def _finalize_device_cache(self) -> None:
+        """End of the warmup epoch: upload the staged frames, switch the
+        loop onto the index-gather steps (ingest_overlap)."""
+        pre_staged = int(self._recorder.seen.sum())
+        staging = self._recorder.finalize(
+            num_workers=self.config.num_workers)
+        buf = jax.numpy.asarray(staging)
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            buf = jax.device_put(buf, replicated(self.mesh))
+        self._train_frames = buf
+        if self._val_shares_train:
+            self._val_frames = buf
+        self._warmup_pending = False
+        self._recorder = None
+        # keep epochs 2+ on the same shuffle sequence a no-warmup run would
+        # draw: the warmup loader consumed one epoch's permutation, so the
+        # index loader's rng advances by exactly one epoch too
+        if self.config.shuffle:
+            self.train_loader.rng.shuffle(
+                np.arange(len(self.train_loader.dataset)))
+        print(f"device cache finalized from warmup epoch: "
+              f"{pre_staged}/{staging.shape[0]} frames staged in-epoch")
+
     def validate(self, epoch: int) -> float:
         # losses accumulate on device; a single readback at the end keeps the
         # launch queue full (a float() per batch is one host sync per batch)
         losses, weights, pads = [], [], []
         batch_time = AverageMeter()
         end = time.time()
-        if self._eval_scan is not None:
+        if self._warmup_pending and self._val_frames is None:
+            # warmup epoch with a val split sharing the train frames: the
+            # cache isn't built yet — validate through the image loader
+            val_loader, eval_scan, eval_step = (
+                self._warmup_val_loader, None, self._img_eval_step)
+        else:
+            val_loader, eval_scan, eval_step = (
+                self.val_loader, self._eval_scan, self._eval_step)
+        if eval_scan is not None:
             # launch fusion (see steps_per_launch): K val batches per scan
             # launch; the whole chunk's losses come back as one (K,) array
             K = self.steps_per_launch
-            n_val = len(self.val_loader)
+            n_val = len(val_loader)
             base = 0
-            for chunk in chunked(self.val_loader, K):
+            for chunk in chunked(val_loader, K):
                 if len(chunk) == K:
-                    k_losses = self._eval_scan(
+                    k_losses = eval_scan(
                         self.state,
-                        jax.numpy.asarray(np.stack([c[0] for c in chunk])),
-                        jax.numpy.asarray(np.stack([c[1] for c in chunk])))
+                        *self._put_scan(np.stack([c[0] for c in chunk]),
+                                        np.stack([c[1] for c in chunk])))
                     chunk_losses = list(k_losses)
                 else:  # epoch tail: per-batch launches
                     chunk_losses = []
                     for idx, poses, _pad in chunk:
                         idx, poses = self._put(idx, poses)
-                        loss, _ = self._eval_step(self.state, idx, poses)
+                        loss, _ = eval_step(self.state, idx, poses)
                         chunk_losses.append(loss)
                 batch_time.update(time.time() - end)
                 for j, (idx, _poses, pad) in enumerate(chunk):
@@ -392,9 +513,9 @@ class Trainer:
                 base += len(chunk)
                 end = time.time()
         else:
-            for batch_idx, (imgs, poses, pad) in enumerate(self.val_loader):
+            for batch_idx, (imgs, poses, pad) in enumerate(val_loader):
                 imgs, poses = self._put(imgs, poses)
-                loss, _ = self._eval_step(self.state, imgs, poses)
+                loss, _ = eval_step(self.state, imgs, poses)
                 losses.append(loss)
                 # imgs is the GLOBAL batch after _put; every process pads
                 # its local tail identically (same local length + batch
@@ -408,7 +529,7 @@ class Trainer:
                 if batch_idx % self.config.print_freq == 0:
                     print(
                         f"Val {self.experiment}: Epoch {epoch}\t"
-                        f"Batch {batch_idx}/{len(self.val_loader) - 1}\t"
+                        f"Batch {batch_idx}/{len(val_loader) - 1}\t"
                         f"Batch time {batch_time.val:.4f} "
                         f"({batch_time.avg:.4f})\t"
                         f"Loss {float(loss):f}"
@@ -446,7 +567,16 @@ class Trainer:
             if self.profile_dir and epoch == self.start_epoch:
                 jax.profiler.start_trace(self.profile_dir)
                 tracing = True
-            n_batches = len(self.train_loader)
+            # warmup epoch (ingest_overlap): train from the image loader
+            # while the FrameRecorder stages frames; the cache finalizes
+            # after this epoch and later epochs run the index-gather steps
+            warmup_now = self._warmup_pending
+            train_loader = (self._warmup_loader if warmup_now
+                            else self.train_loader)
+            train_step = (self._img_train_step if warmup_now
+                          else self._train_step)
+            train_scan = None if warmup_now else self._train_scan
+            n_batches = len(train_loader)
             # per-batch optimizer step, tracked on host: one sync here (epoch
             # start) instead of per print point; under launch fusion the
             # device state only reflects post-LAUNCH steps, so per-batch
@@ -480,27 +610,27 @@ class Trainer:
                     batch_time=batch_time.avg, **cparams,
                 )
 
-            if self._train_scan is not None:
+            if train_scan is not None:
                 # K steps per launch (see steps_per_launch): stack K index
                 # batches, run the scanned step, get all K losses back as
                 # one device array. Timing meters are per-LAUNCH here.
                 K = self.steps_per_launch
                 base = 0
-                for chunk in chunked(self.train_loader, K):
+                for chunk in chunked(train_loader, K):
                     data_time.update(time.time() - end)
                     if len(chunk) == K:
-                        idx_k = np.stack([c[0] for c in chunk])
-                        poses_k = np.stack([c[1] for c in chunk])
-                        self.state, losses = self._train_scan(
-                            self.state, jax.numpy.asarray(idx_k),
-                            jax.numpy.asarray(poses_k), self.rng)
+                        idx_k, poses_k = self._put_scan(
+                            np.stack([c[0] for c in chunk]),
+                            np.stack([c[1] for c in chunk]))
+                        self.state, losses = train_scan(
+                            self.state, idx_k, poses_k, self.rng)
                     else:
                         # epoch tail shorter than K: per-step launches
                         # (one scan compile per tail length isn't worth it)
                         losses = []
                         for idx, poses, _ in chunk:
                             idx, poses = self._put(idx, poses)
-                            self.state, l = self._train_step(
+                            self.state, l = train_step(
                                 self.state, idx, poses, self.rng)
                             losses.append(l)
                     if tracing:
@@ -519,15 +649,14 @@ class Trainer:
                     base += len(chunk)
                     end = time.time()
             else:
-                for batch_idx, (imgs, poses, _) in enumerate(
-                        self.train_loader):
+                for batch_idx, (imgs, poses, _) in enumerate(train_loader):
                     data_time.update(time.time() - end)
                     if tracing and batch_idx == 10:
                         jax.profiler.stop_trace()
                         tracing = False
                         print(f"Profiler trace written to {self.profile_dir}")
                     imgs, poses = self._put(imgs, poses)
-                    self.state, loss = self._train_step(
+                    self.state, loss = train_step(
                         self.state, imgs, poses, self.rng
                     )
                     host_step += 1
@@ -537,6 +666,8 @@ class Trainer:
                     end = time.time()
             if tracing:
                 jax.profiler.stop_trace()
+            if warmup_now:
+                self._finalize_device_cache()
 
         save_checkpoint(self.logdir, cfg.n_epochs, self.state)
         print(f"Epoch {cfg.n_epochs} checkpoint saved")

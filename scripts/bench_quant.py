@@ -29,7 +29,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from bench import H, W, T, build, time_forward  # noqa: E402
 
-ALL_MODES = ("bf16", "folded", "int8", "int8_static", "int8_static_heads")
+ALL_MODES = ("bf16", "folded", "int8", "int8_static", "int8_static_heads",
+             "int8_fused", "int8_fused_heads")
 
 
 def main():
@@ -78,17 +79,28 @@ def main():
         qdev = jax.device_put(qtree)
         run("int8", lambda p, s, im: mapnet_apply_int8(qdev, im))
 
-    if "int8_static" in modes or "int8_static_heads" in modes:
+    static_modes = {"int8_static", "int8_static_heads", "int8_fused",
+                    "int8_fused_heads"}
+    if static_modes & set(modes):
         calib = [jax.random.normal(jax.random.PRNGKey(7), (8, T, H, W, 3),
                                    jnp.bfloat16)]
         qstat = jax.device_put(calibrate_activation_scales(qtree, calib))
         if "int8_static" in modes:
             run("int8_static", lambda p, s, im: mapnet_apply_int8(qstat, im))
-        if "int8_static_heads" in modes:
+        if "int8_fused" in modes:
+            # int8 dataflow: requant in conv epilogues, int8 inter-site
+            # activations (models/quant.py::_trunk_forward_fused)
+            run("int8_fused",
+                lambda p, s, im: mapnet_apply_int8(qstat, im, fused=True))
+        if "int8_static_heads" in modes or "int8_fused_heads" in modes:
             qh = quantize_posenet_variables(vtree, quantize_heads=True)
             qh = jax.device_put(calibrate_activation_scales(qh, calib))
-            run("int8_static_heads",
-                lambda p, s, im: mapnet_apply_int8(qh, im))
+            if "int8_static_heads" in modes:
+                run("int8_static_heads",
+                    lambda p, s, im: mapnet_apply_int8(qh, im))
+            if "int8_fused_heads" in modes:
+                run("int8_fused_heads",
+                    lambda p, s, im: mapnet_apply_int8(qh, im, fused=True))
 
 
 if __name__ == "__main__":

@@ -112,14 +112,18 @@ class TestDeviceCachedEval:
         assert len(eval_mod._SCAN_CACHE) == 1
         (scan_jit, m_ref, _), = eval_mod._SCAN_CACHE.values()
         assert m_ref is model
-        traced_before = scan_jit._cache_size()
+        # _cache_size is a private JAX API; when absent, keep the
+        # wrapper-identity + bumped-weights assertions as the core contract
+        has_trace_count = callable(getattr(scan_jit, "_cache_size", None))
+        traced_before = scan_jit._cache_size() if has_trace_count else None
         again = evaluate(model, state, val, batch_size=8, progress=False,
                          device_cache=first["device_frames"],
                          use_mesh=False)
         # same wrapper object survived and was NOT re-traced
         assert len(eval_mod._SCAN_CACHE) == 1
         assert next(iter(eval_mod._SCAN_CACHE.values()))[0] is scan_jit
-        assert scan_jit._cache_size() == traced_before
+        if has_trace_count:
+            assert scan_jit._cache_size() == traced_before
         np.testing.assert_array_equal(again["pred_poses"],
                                       first["pred_poses"])
         # updated weights flow through the cached program as an argument
@@ -128,7 +132,8 @@ class TestDeviceCachedEval:
         moved = evaluate(model, bumped, val, batch_size=8, progress=False,
                          device_cache=first["device_frames"],
                          use_mesh=False)
-        assert scan_jit._cache_size() == traced_before
+        if has_trace_count:
+            assert scan_jit._cache_size() == traced_before
         assert not np.allclose(moved["pred_poses"], first["pred_poses"])
 
     def test_pgo_targets_carry_vos(self, mapnet_state):

@@ -234,6 +234,100 @@ def test_two_process_trainer_epoch(tmp_path):
     assert not (tmp_path / "mh_1" / "log.txt").exists()
 
 
+def test_two_process_device_cache_training(tmp_path):
+    """--device_cache under real jax.distributed (VERDICT r3 item 4): each
+    process decodes only its shard of the frames (upload_frames_global),
+    one interconnect all-gather replicates the stack, and the scanned
+    launch-fusion path (_put_scan) assembles global (K, B, ...) stacks.
+    Both ranks must finish with identical replicas."""
+    import socket
+    import subprocess
+    import sys
+    import textwrap
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    script = tmp_path / "dc_probe.py"
+    script.write_text(textwrap.dedent(f"""
+        import os, sys
+        proc_id = int(sys.argv[1])
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        sys.path.insert(0, {str(Path.cwd())!r})
+        from geomapnet_tpu.parallel import initialize_distributed
+        initialize_distributed(coordinator_address="localhost:{port}",
+                               num_processes=2, process_id=proc_id)
+        import numpy as np, jax.numpy as jnp
+        from geomapnet_tpu.cli.config import ExperimentConfig
+        from geomapnet_tpu.data import MF, SyntheticScene
+        from geomapnet_tpu.losses import MapNetCriterion
+        from geomapnet_tpu.models import MapNet, PoseNet, resnet18
+        from geomapnet_tpu.train.loop import Trainer
+
+        model = MapNet(posenet=PoseNet(
+            feature_extractor=resnet18(), feat_dim=16, droprate=0.0))
+        criterion = MapNetCriterion(saq=-3.0, srq=-3.0)
+        cfg = ExperimentConfig(n_epochs=2, batch_size=8, do_val=True, seed=7,
+                               snapshot=50, val_freq=1, print_freq=1,
+                               opt="adam", lr=1e-3)
+        train_ds = MF(SyntheticScene(n_frames=18, height=16, width=24),
+                      steps=2, skip=1)
+        val_ds = MF(SyntheticScene(n_frames=9, height=16, width=24,
+                                   train=False), steps=2, skip=1)
+        t = Trainer(model, criterion, cfg, f"dc_{{proc_id}}", train_ds, val_ds,
+                    logdir_root=sys.argv[2], device_cache=True,
+                    steps_per_launch=2)
+        assert t.process_count == 2
+        assert t.device_cache, "device_cache must NOT fall back multi-host"
+        assert t._train_scan is not None  # launch fusion active
+        # the frame buffer is a replicated GLOBAL array over all 4 devices
+        assert t._train_frames.shape[0] == 18, t._train_frames.shape
+        assert len(t._train_frames.sharding.device_set) == 4
+        t.train_val()
+        w = np.asarray(jax.tree.leaves(t.state.params["model"])[0])
+        np.save(sys.argv[2] + f"/dcw{{proc_id}}.npy", w)
+        print("DONE", proc_id)
+    """))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert f"DONE {i}" in out
+    w0 = np.load(tmp_path / "dcw0.npy")
+    w1 = np.load(tmp_path / "dcw1.npy")
+    np.testing.assert_array_equal(w0, w1)  # replicas stayed in sync
+
+
+def test_upload_frames_global_single_process_matches_local():
+    """upload_frames_global degrades to upload_frames' values (replicated)
+    on a single process; frame-axis padding is sliced off."""
+    from geomapnet_tpu.data import SyntheticScene
+    from geomapnet_tpu.data.device_cache import (
+        upload_frames,
+        upload_frames_global,
+    )
+
+    ds = SyntheticScene(n_frames=11, height=8, width=12)  # 11 % 8 != 0
+    mesh = make_mesh()
+    g = upload_frames_global(ds, mesh)
+    l = upload_frames(ds)
+    assert g.shape == l.shape == (11, 8, 12, 3)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(l))
+    # replicated over the mesh: every device holds the full stack
+    assert len(g.sharding.device_set) == mesh.devices.size
+    shard_shapes = {s.data.shape for s in g.addressable_shards}
+    assert shard_shapes == {(11, 8, 12, 3)}
+
+
 def test_two_process_shared_logdir_checkpoint_and_resume(tmp_path):
     """Rank-0 checkpointing under real multi-process: both processes share
     ONE experiment logdir; only rank 0 writes (behind the all-rank barrier),

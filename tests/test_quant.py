@@ -331,6 +331,76 @@ class TestStaticCalibration:
             max(0.1 * abs(ref["median_t"]), 0.05)
 
 
+class TestFusedRequant:
+    """int8-dataflow trunk (fused=True): requant in conv epilogues, int8
+    inter-site activations. Must track the unfused static path closely —
+    the only numerical deltas are f32 (not bf16) dequant links and the
+    identity branch's (already-present) input rounding."""
+
+    def test_fused_close_to_unfused_static(self, float_model):
+        _, variables = float_model
+        q = quantize_posenet_variables(variables, stage_sizes=STAGES)
+        x = jax.random.normal(jax.random.PRNGKey(11), (4, 64, 96, 3))
+        qc = calibrate_activation_scales(q, [x], dtype=jnp.float32)
+        stat = np.asarray(posenet_apply_int8(qc, x, dtype=jnp.float32))
+        fused = np.asarray(
+            posenet_apply_int8(qc, x, dtype=jnp.float32, fused=True))
+        scale = np.abs(stat).mean()
+        # the two int8 variants round at different points (the identity
+        # branch rides quantized; the block output quantizes once instead
+        # of per consumer) — deviations compound to ~6% max over 8 random-
+        # weight blocks; fidelity to FLOAT is the contract pinned below
+        assert np.abs(fused - stat).max() / scale < 0.10
+
+    def test_fused_close_to_float(self, float_model):
+        model, variables = float_model
+        q = quantize_posenet_variables(variables, stage_sizes=STAGES,
+                                       quantize_heads=True)
+        calib = [jax.random.normal(jax.random.PRNGKey(12 + i), (4, 64, 96, 3))
+                 for i in range(2)]
+        qc = calibrate_activation_scales(q, calib, dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(14), (4, 64, 96, 3))
+        ref = np.asarray(model.apply(variables, x, train=False))
+        got = np.asarray(
+            posenet_apply_int8(qc, x, dtype=jnp.float32, fused=True))
+        scale = np.abs(ref).mean()
+        assert np.abs(got - ref).max() / scale < 0.12
+
+    def test_fused_mapnet_wrapper(self, float_model):
+        _, variables = float_model
+        q = quantize_posenet_variables(variables, stage_sizes=STAGES)
+        x = jax.random.normal(jax.random.PRNGKey(15), (2, 3, 64, 96, 3))
+        qc = calibrate_activation_scales(q, [x], dtype=jnp.float32)
+        out = np.asarray(mapnet_apply_int8(qc, x, dtype=jnp.float32,
+                                           fused=True))
+        assert out.shape == (2, 3, 6)
+        flat = np.asarray(posenet_apply_int8(
+            qc, jnp.reshape(x, (6, 64, 96, 3)), dtype=jnp.float32,
+            fused=True))
+        np.testing.assert_array_equal(out.reshape(6, 6), flat)
+
+    def test_fused_requires_static_scales(self, float_model):
+        _, variables = float_model
+        q = quantize_posenet_variables(variables, stage_sizes=STAGES)
+        x = jnp.zeros((1, 64, 96, 3))
+        with pytest.raises(ValueError, match="static scales"):
+            posenet_apply_int8(q, x, fused=True)  # dynamic tree
+
+    def test_fused_rejects_bottleneck(self):
+        from geomapnet_tpu.models import resnet50
+
+        model = PoseNet(feature_extractor=resnet50(dtype=jnp.float32),
+                        feat_dim=64, droprate=0.0)
+        x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+        v = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        q = quantize_posenet_variables(
+            {"params": v["params"], "batch_stats": v["batch_stats"]},
+            stage_sizes=(3, 4, 6, 3))
+        qc = calibrate_activation_scales(q, [x], dtype=jnp.float32)
+        with pytest.raises(ValueError, match="basic-block"):
+            posenet_apply_int8(qc, x, fused=True)
+
+
 class TestQuantizedHeads:
     def test_int8_fc_feat_close_to_float(self, float_model):
         model, variables = float_model

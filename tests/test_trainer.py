@@ -111,6 +111,72 @@ def test_device_cache_step_matches_loader_step(tmp_path):
     assert float(loss_img) == pytest.approx(float(loss_dc), abs=1e-6)
 
 
+def test_ingest_overlap_matches_serial_device_cache(tmp_path):
+    """--ingest_overlap: the warmup epoch trains from the image loader while
+    the FrameRecorder stages frames; the finalized run must match the
+    serial upload-then-train device-cache run batch for batch (same seeds,
+    same permutations, same values through both step forms)."""
+    import jax
+
+    t_serial = _build(tmp_path / "serial", n_epochs=3, device_cache=True)
+    t_warm = _build(tmp_path / "warm", n_epochs=3, device_cache=True,
+                    ingest_overlap=True)
+    assert t_warm._warmup_pending and t_warm._train_frames is None
+    assert not t_serial._warmup_pending
+
+    t_serial.train_val()
+    t_warm.train_val()
+
+    # cache finalized from the warmup epoch with the same frame content
+    assert not t_warm._warmup_pending
+    np.testing.assert_array_equal(np.asarray(t_warm._train_frames),
+                                  np.asarray(t_serial._train_frames))
+    # identical final weights (sampling parity incl. the rng advance that
+    # keeps epochs 2+ on the same shuffle sequence)
+    a = np.asarray(jax.tree.leaves(t_serial.state.params["model"])[0])
+    b = np.asarray(jax.tree.leaves(t_warm.state.params["model"])[0])
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+    # val path worked in both (separate val source -> uploaded at init)
+    assert t_warm.validate(99) == pytest.approx(t_serial.validate(99),
+                                                rel=1e-4)
+
+
+def test_ingest_overlap_shared_val_source(tmp_path):
+    """When val shares the train frame source, warmup-epoch validation runs
+    through the image loader (the cache isn't built yet) and later
+    validations use the finalized buffer."""
+    model = MapNet(posenet=PoseNet(
+        feature_extractor=resnet18(), feat_dim=32, droprate=0.0))
+    criterion = MapNetCriterion(saq=-3.0, srq=-3.0)
+    cfg = ExperimentConfig(
+        n_epochs=2, batch_size=8, do_val=True, seed=7, snapshot=5,
+        val_freq=1, print_freq=1, opt="adam", lr=2e-3,
+    )
+    scene = SyntheticScene(n_frames=32, height=32, width=48)
+    train_ds = MF(scene, steps=3, skip=2)
+    val_ds = MF(scene, steps=3, skip=2)  # same frame source object
+    t = Trainer(model, criterion, cfg, "shared_val", train_ds, val_ds,
+                logdir_root=str(tmp_path), use_mesh=False,
+                device_cache=True, ingest_overlap=True)
+    assert t._val_shares_train and t._val_frames is None
+    first = t.validate(0)  # image-loader validation during warmup
+    t.train_val()
+    assert t._val_frames is not None  # finalized buffer shared with train
+    assert t.validate(99) < first
+
+
+def test_ingest_overlap_with_launch_fusion(tmp_path):
+    """ingest_overlap composes with steps_per_launch: warmup epoch runs
+    per-batch image steps, later epochs use the scanned gather launches."""
+    t = _build(tmp_path, n_epochs=2, device_cache=True, ingest_overlap=True,
+               steps_per_launch=2)
+    assert t._warmup_pending and t._train_scan is not None
+    first = t.validate(0)
+    t.train_val()
+    assert not t._warmup_pending
+    assert t.validate(99) < first
+
+
 def test_device_cache_meshed_trainer(tmp_path):
     """device_cache x data-parallel mesh: the frame buffer replicates, idx
     shards on batch; first-step loss matches the single-device gather path."""

@@ -113,6 +113,13 @@ def _evaluate(
     L = len(dataset.dset) if is_tuple else len(dataset)
     steps = dataset.steps if is_tuple else 1
 
+    # Tuple batches upload T-FOLDED, (B*T, H, W, C): a free host-side view
+    # that spares the program the full-batch relayout XLA inserts to bitcast
+    # the 5D parameter before the stem conv (measured +2%,
+    # scripts/bench_input_layout.py); pose outputs fold back to (B, T, d)
+    # inside the step. MapNet only — VidLoc's recurrence needs the T axis.
+    fold_T = steps if (is_tuple and hasattr(model, "posenet")) else None
+
     # device-resident frame cache (data/device_cache.py): frames upload to
     # HBM once; batches become int32 index gathers. ``device_cache`` may be
     # a previously returned buffer (result["device_frames"]) to skip the
@@ -206,14 +213,21 @@ def _evaluate(
         def step_core(qtree_, images, targets=None, rng=None):
             if preprocess is not None:
                 images = preprocess(images)
-            fn = mapnet_apply_int8 if images.ndim == 5 else posenet_apply_int8
-            return jnp.zeros(()), fn(qtree_, images, dtype=apply_dtype,
-                                     fused=fuse_requant)
+            if images.ndim == 5:
+                out = mapnet_apply_int8(qtree_, images, dtype=apply_dtype,
+                                        fused=fuse_requant)
+            else:
+                out = posenet_apply_int8(qtree_, images, dtype=apply_dtype,
+                                         fused=fuse_requant)
+                if fold_T is not None:
+                    out = out.reshape(-1, fold_T, out.shape[-1])
+            return jnp.zeros(()), out
 
         scan_state = qtree
     else:
         step_core = make_eval_step(model, None, preprocess=preprocess,
-                                   stochastic=stochastic)
+                                   stochastic=stochastic,
+                                   fold_tuples=fold_T)
         scan_state = state
     eval_step = None if use_device_cache else _jit_step(step_core)
     eval_rng = jax.random.PRNGKey(seed)
@@ -306,8 +320,15 @@ def _evaluate(
             def epoch_scan(state_, buf_, idx_batches, rngs):
                 def body(carry, xs):
                     ib, rng = xs
+                    gi = ib if is_tuple else ib[:, 0]
+                    if fold_T is not None and mesh is None:
+                        # folded gather: (B*T,) indices -> 4D frames; the
+                        # step folds poses back (see fold_T above). Meshed
+                        # scans keep the (B, T) gather — the folded reshape
+                        # would merge the dp-sharded batch axis
+                        gi = gi.reshape(-1)
                     _, out = step_core(
-                        state_, buf_[ib if is_tuple else ib[:, 0]], None,
+                        state_, buf_[gi], None,
                         rng if stochastic else None)
                     return carry, (out if out.ndim == 3 else out[:, None, :])
                 _, outs = jax.lax.scan(body, 0, (idx_batches, rngs))
@@ -379,6 +400,9 @@ def _evaluate(
             if progress and batch_idx % 10 == 0:
                 print(f"Batch {batch_idx} / {len(loader)}")
 
+            if fold_T is not None:
+                # T-folded upload (free numpy view; see fold_T above)
+                imgs = imgs.reshape(-1, *imgs.shape[2:])
             x = jnp.asarray(imgs)
             if not is_tuple:
                 # PoseNet consumes (B, H, W, C); the _Single wrapper added a

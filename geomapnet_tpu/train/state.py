@@ -170,7 +170,8 @@ def make_train_step(
 
 
 def make_eval_step(model, criterion=None, preprocess=None,
-                   stochastic: bool = False) -> Callable:
+                   stochastic: bool = False,
+                   fold_tuples: int | None = None) -> Callable:
     """Build the pure eval step: (state, images, targets[, rng]) -> (loss, outputs).
 
     Equivalent of ``step_feedfwd(train=False)``
@@ -182,7 +183,20 @@ def make_eval_step(model, criterion=None, preprocess=None,
     the reference's ungated ``F.dropout`` quirk (/root/reference/models/
     posenet.py:68-69), whose published eval numbers include it. The step then
     takes a required ``rng`` argument.
+
+    ``fold_tuples=T`` (MapNet-style models only) additionally accepts
+    T-FOLDED 4D batches, (B*T, H, W, C): the shared-weight PoseNet runs on
+    the folded axis directly and the poses fold back to (B, T, d). The
+    producer shipping folded batches spares the program the full-batch
+    relayout XLA inserts to bitcast the 5D parameter (measured +2%,
+    scripts/bench_input_layout.py); results are bit-identical (MapNet is
+    exactly this fold, models/posenet.py:126-132). 5D batches still take the
+    normal path, so one step serves both the loader and device-cache flows.
     """
+    sub = getattr(model, "posenet", None)
+    if fold_tuples is not None and sub is None:
+        raise ValueError("fold_tuples needs a MapNet-style model "
+                         "with a .posenet submodule")
 
     def eval_step(state: TrainState, images, targets=None, rng=None):
         if preprocess is not None:
@@ -190,12 +204,23 @@ def make_eval_step(model, criterion=None, preprocess=None,
         kwargs = {}
         if stochastic:
             kwargs = {"stochastic": True, "rngs": {"dropout": rng}}
-        out = model.apply(
-            {"params": state.params["model"], "batch_stats": state.batch_stats},
-            images,
-            train=False,
-            **kwargs,
-        )
+        if fold_tuples is not None and images.ndim == 4:
+            out = sub.apply(
+                {"params": state.params["model"]["posenet"],
+                 "batch_stats": state.batch_stats["posenet"]},
+                images,
+                train=False,
+                **kwargs,
+            )
+            out = out.reshape(-1, fold_tuples, out.shape[-1])
+        else:
+            out = model.apply(
+                {"params": state.params["model"],
+                 "batch_stats": state.batch_stats},
+                images,
+                train=False,
+                **kwargs,
+            )
         if criterion is None or targets is None:
             return jnp.zeros(()), out
         return criterion(state.params["criterion"], out, targets), out

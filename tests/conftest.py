@@ -23,6 +23,18 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# build the native C++ decoder once so its 15 tests never silently skip on a
+# fresh checkout (a few seconds of g++; on failure the skipif stands)
+try:
+    from geomapnet_tpu import native as _native
+
+    if not _native.lib_path().exists():
+        from geomapnet_tpu.native.build import build as _build_native
+
+        _build_native(verbose=False)
+except Exception:
+    pass
+
 
 @pytest.fixture
 def rng():

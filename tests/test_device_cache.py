@@ -56,6 +56,7 @@ def mapnet_state():
     return model, state
 
 
+@pytest.mark.slow
 class TestDeviceCachedEval:
     def test_matches_loader_path_tuples(self, mapnet_state):
         model, state = mapnet_state

@@ -19,6 +19,8 @@ from geomapnet_tpu.train import (
     save_checkpoint,
 )
 
+pytestmark = pytest.mark.slow  # full-workflow module; see docs/TESTING.md fast lane
+
 
 @pytest.fixture(scope="module")
 def trained():

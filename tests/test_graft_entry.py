@@ -11,11 +11,14 @@ import pathlib
 import sys
 
 import jax
+import pytest
 import jax.numpy as jnp
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import __graft_entry__ as graft
+
+pytestmark = pytest.mark.slow  # full-workflow module; see docs/TESTING.md fast lane
 
 
 def test_entry_traces_and_shapes():

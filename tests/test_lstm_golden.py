@@ -13,6 +13,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import numpy.testing as npt
 from flax import linen as nn
 
@@ -70,6 +71,7 @@ def test_bidirectional_matches_torch():
     npt.assert_allclose(np.asarray(out), BI_OUT, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_vidloc_uses_verified_core():
     """VidLoc's recurrence is exactly the verified construction above."""
     from geomapnet_tpu.models import VidLoc

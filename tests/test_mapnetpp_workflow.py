@@ -25,6 +25,8 @@ from geomapnet_tpu.train.loop import Trainer
 
 H, W, STEPS = 32, 48, 3
 
+pytestmark = pytest.mark.slow  # full-workflow module; see docs/TESTING.md fast lane
+
 
 def _model(filter_nans: bool = False):
     # filter_nans mirrors the reference's mapnet++-only filter_hook

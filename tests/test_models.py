@@ -240,6 +240,7 @@ class TestVidLoc:
         out2 = model.apply(variables, x2)
         assert not np.allclose(np.asarray(base[0, 0]), np.asarray(out2[0, 0]))
 
+    @pytest.mark.slow
     def test_trains_with_standard_step(self):
         from geomapnet_tpu.losses import PoseNetCriterion
         from geomapnet_tpu.train import (
@@ -264,6 +265,7 @@ class TestVidLoc:
         assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_resnet50_posenet_forward():
     """Bottleneck trunk plugs into PoseNet like any torchvision trunk does
     in the reference (/root/reference/models/posenet.py:36-46)."""

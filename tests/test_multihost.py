@@ -10,6 +10,7 @@ import json
 from pathlib import Path
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -102,6 +103,7 @@ def test_metrics_writer_disabled(tmp_path):
     assert not (tmp_path / "m.jsonl").exists()
 
 
+@pytest.mark.slow
 def test_metrics_writer_tensorboard(tmp_path):
     import pytest
 
@@ -165,6 +167,7 @@ def test_two_process_global_batch(tmp_path):
         assert f"OK {i}" in out
 
 
+@pytest.mark.slow
 def test_two_process_trainer_epoch(tmp_path):
     """Full Trainer epoch across 2 real processes: per-process loaders feed
     global batches; the sharded step all-reduces over the 2x2-device mesh;
@@ -234,6 +237,7 @@ def test_two_process_trainer_epoch(tmp_path):
     assert not (tmp_path / "mh_1" / "log.txt").exists()
 
 
+@pytest.mark.slow
 def test_two_process_device_cache_training(tmp_path):
     """--device_cache under real jax.distributed (VERDICT r3 item 4): each
     process decodes only its shard of the frames (upload_frames_global),
@@ -328,6 +332,7 @@ def test_upload_frames_global_single_process_matches_local():
     assert shard_shapes == {(11, 8, 12, 3)}
 
 
+@pytest.mark.slow
 def test_two_process_shared_logdir_checkpoint_and_resume(tmp_path):
     """Rank-0 checkpointing under real multi-process: both processes share
     ONE experiment logdir; only rank 0 writes (behind the all-rank barrier),

@@ -72,6 +72,7 @@ class TestPipeline:
         )
         assert [s.shape for _, s in shapes] == [(2, 4), (2, 3)]
 
+    @pytest.mark.slow
     def test_posenet_trunk_head_split(self):
         """A REAL model split: stage 0 = ResNet trunk, stage 1 = pose head.
 
@@ -110,6 +111,7 @@ class TestPipeline:
 
 
 class TestPipelineTraining:
+    @pytest.mark.slow
     def test_grads_flow_through_pipeline(self):
         """PP is trainable: jax.grad differentiates through the schedule
         (lax.ppermute transposes to the inverted permutation), matching
@@ -246,6 +248,7 @@ class TestPackedStageParams:
 class TestDataPipelineMesh:
     """dp x pp on a 2-D ('data', 'stage') mesh."""
 
+    @pytest.mark.slow
     def test_forward_and_grads_match_sequential(self):
         mesh = make_mesh(jax.devices()[:8], ("data", "stage"), (2, 4))
         params = _stage_weights(jax.random.PRNGKey(0), dims=(10, 8, 6, 4, 5))

@@ -13,6 +13,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import numpy.testing as npt
 
 from geomapnet_tpu.models import MapNet, PoseNet, resnet34
@@ -48,6 +49,7 @@ def _merged_posenet_variables():
     return model, merged
 
 
+@pytest.mark.slow
 def test_posenet_matches_reference_module():
     model, merged = _merged_posenet_variables()
     x = _fixed_input((2, 3, 64, 96)).transpose(0, 2, 3, 1)  # NCHW -> NHWC

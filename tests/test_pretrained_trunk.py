@@ -141,6 +141,7 @@ class TestMergeAndForward:
             sd["bn1.running_mean"], rtol=1e-6,
         )
 
+    @pytest.mark.slow
     def test_posenet_merge_and_forward(self, npz_path):
         model = PoseNet(feature_extractor=resnet34(), feat_dim=128, droprate=0.0)
         x = jnp.zeros((1, 64, 64, 3), jnp.float32)
@@ -153,6 +154,7 @@ class TestMergeAndForward:
         out = model.apply(merged, x, train=False)
         assert out.shape == (1, 6) and bool(jnp.all(jnp.isfinite(out)))
 
+    @pytest.mark.slow
     def test_mapnet_merge_and_forward(self, npz_path):
         model = MapNet(
             posenet=PoseNet(feature_extractor=resnet34(), feat_dim=128, droprate=0.0)

@@ -96,6 +96,7 @@ class TestForwardFidelity:
         assert np.abs(got - ref).max() / scale < 0.08
 
 
+@pytest.mark.slow
 class TestAccuracyOnTrainedModel:
     def test_pose_error_degradation_small(self, tmp_path):
         """Train a tiny PoseNet on the synthetic scene, then compare float vs
@@ -134,6 +135,7 @@ class TestAccuracyOnTrainedModel:
         assert err_q < max(err_f * 1.2, err_f + 0.02), (err_f, err_q)
 
 
+@pytest.mark.slow
 class TestEvaluateQuantized:
     def test_evaluate_with_quantize_runs_and_matches_float(self):
         from geomapnet_tpu.cli.eval import evaluate
@@ -186,6 +188,7 @@ class TestEvaluateQuantized:
         assert abs(dc["median_t"] - base["median_t"]) < 0.02
 
 
+@pytest.mark.slow
 class TestShardedEvaluate:
     """evaluate() runs data-parallel over the virtual 8-device mesh and
     matches the single-device result (float and int8)."""
@@ -309,6 +312,7 @@ class TestStaticCalibration:
         scale = np.abs(ref).mean()
         assert np.abs(got - ref).max() / scale < 0.12
 
+    @pytest.mark.slow
     def test_evaluate_calibrated_runs(self):
         from geomapnet_tpu.cli.eval import evaluate
         from geomapnet_tpu.data import MF, SyntheticScene
@@ -386,6 +390,7 @@ class TestFusedRequant:
         with pytest.raises(ValueError, match="static scales"):
             posenet_apply_int8(q, x, fused=True)  # dynamic tree
 
+    @pytest.mark.slow
     def test_fused_rejects_bottleneck(self):
         from geomapnet_tpu.models import resnet50
 
@@ -414,6 +419,7 @@ class TestQuantizedHeads:
         assert np.abs(got - ref).max() / scale < 0.1
 
 
+@pytest.mark.slow
 class TestBottleneckQuant:
     """int8 PTQ generalizes to resnet50-family Bottleneck trunks."""
 

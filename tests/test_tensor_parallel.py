@@ -81,6 +81,7 @@ class TestHeadTensorParallel:
         )
         assert any(s.spec == P(None, "model") for s in mu)
 
+    @pytest.mark.slow
     def test_indivisible_feat_dim_raises(self):
         model = tiny_mapnet(feat_dim=30)
         criterion = MapNetCriterion()
@@ -91,6 +92,7 @@ class TestHeadTensorParallel:
         with pytest.raises(ValueError, match="not divisible"):
             tp_state_shardings(state, mesh)
 
+    @pytest.mark.slow
     def test_tp_train_step_matches_single_device(self, setup):
         """One dp(4) x tp(2) train step == the unsharded step.
 
@@ -202,6 +204,7 @@ class TestSpatialPartitioning:
 
 
 class TestTPCheckpoint:
+    @pytest.mark.slow
     def test_tp_state_checkpoints_and_reshards(self, tmp_path):
         """A tensor-parallel TrainState saves via orbax (global arrays),
         restores onto a single-device template, and re-shards — so TP

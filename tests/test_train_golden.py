@@ -14,6 +14,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import numpy.testing as npt
 
 from geomapnet_tpu.losses import MapNetCriterion
@@ -43,6 +44,8 @@ from golden_train import (  # noqa: E402
     TRAIN_LOSSES,
     WEIGHT_DECAY,
 )
+
+pytestmark = pytest.mark.slow  # full-workflow module; see docs/TESTING.md fast lane
 
 
 def _fixed_input(shape, phase=0.5):

@@ -35,6 +35,7 @@ def setup():
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_loss_decreases(self, setup):
         model, criterion, tx, state = setup
         rng = jax.random.PRNGKey(1)
@@ -57,6 +58,7 @@ class TestTrainStep:
         s1, _ = step(state, images, targets, rng)
         assert float(s1.params["criterion"]["sax"]) != 0.0
 
+    @pytest.mark.slow
     def test_remat_step_matches(self, setup):
         """remat=True recomputes the forward in the backward — same math."""
         model, criterion, tx, state = setup
@@ -71,6 +73,7 @@ class TestTrainStep:
         for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    @pytest.mark.slow
     def test_grad_accum_matches_full_batch(self):
         """accum_steps=2 == one full-batch step when the model has no BN.
 
@@ -110,6 +113,7 @@ class TestTrainStep:
             step(state, jnp.zeros((4, 3, 32, 32, 3)), jnp.zeros((4, 3, 6)),
                  jax.random.PRNGKey(0))
 
+    @pytest.mark.slow
     def test_grad_accum_with_bn_runs(self, setup):
         model, criterion, tx, state = setup
         step = jax.jit(make_train_step(model, criterion, tx, accum_steps=2))
@@ -297,6 +301,35 @@ class TestStochasticEval:
         _, d2 = det(state_do, images)
         np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
 
+
+class TestFoldTuples:
+    """T-folded eval batches (B*T, H, W, C) are bit-identical to 5D ones.
+
+    The eval CLI ships tuple batches folded so the program skips the
+    full-batch relayout of the 5D parameter (scripts/bench_input_layout.py);
+    MapNet IS this fold (models/posenet.py:126-132), so outputs must match
+    exactly, and the same step must still accept 5D (device-cache scans).
+    """
+
+    def test_folded_matches_5d(self, setup):
+        model, criterion, tx, state = setup
+        images = jax.random.normal(jax.random.PRNGKey(5), (2, 3, 32, 32, 3))
+
+        plain = jax.jit(make_eval_step(model))
+        folded = jax.jit(make_eval_step(model, fold_tuples=3))
+        _, ref = plain(state, images)
+        _, out4 = folded(state, images.reshape(-1, 32, 32, 3))
+        _, out5 = folded(state, images)
+        assert out4.shape == ref.shape
+        np.testing.assert_array_equal(np.asarray(out4), np.asarray(ref))
+        np.testing.assert_array_equal(np.asarray(out5), np.asarray(ref))
+
+    def test_fold_requires_posenet_submodule(self):
+        with pytest.raises(ValueError):
+            make_eval_step(PoseNet(feature_extractor=resnet18(),
+                                   feat_dim=32), fold_tuples=3)
+
+
 class TestMeshShapes:
     """Non-default mesh sizes and the clear-error contract for bad batch/
     mesh combinations (real-pod readiness: sub-meshes, odd device counts)."""
@@ -316,6 +349,7 @@ class TestMeshShapes:
     def test_four_device_submesh(self, setup):
         self._run(setup, n_dev=4, batch=8)
 
+    @pytest.mark.slow
     def test_non_power_of_two_mesh(self, setup):
         self._run(setup, n_dev=3, batch=6)
 

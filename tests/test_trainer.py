@@ -32,6 +32,7 @@ def _build(tmp_path, n_epochs=2, use_mesh=False, **kw):
     )
 
 
+@pytest.mark.slow
 def test_train_val_artifacts_and_improvement(tmp_path):
     trainer = _build(tmp_path)
     first = trainer.validate(0)
@@ -51,6 +52,7 @@ def test_train_val_artifacts_and_improvement(tmp_path):
     assert (logdir / "epoch_002").exists()
 
 
+@pytest.mark.slow
 def test_resume_continues_epoch(tmp_path):
     trainer = _build(tmp_path, n_epochs=1)
     trainer.train_val()
@@ -67,6 +69,7 @@ def test_resume_continues_epoch(tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_grad_accum_trainer_epoch(tmp_path):
     """One epoch with accum_steps=2: same schedule, loss finite, improves."""
     trainer = _build(tmp_path, n_epochs=2, accum_steps=2)
@@ -75,6 +78,7 @@ def test_grad_accum_trainer_epoch(tmp_path):
     assert trainer.validate(99) < first
 
 
+@pytest.mark.slow
 def test_device_cache_trainer_epoch(tmp_path):
     """--device_cache: frames in HBM, steps fed by index gather. Training
     must behave like the loader path (loss improves, artifacts written)."""
@@ -111,6 +115,7 @@ def test_device_cache_step_matches_loader_step(tmp_path):
     assert float(loss_img) == pytest.approx(float(loss_dc), abs=1e-6)
 
 
+@pytest.mark.slow
 def test_ingest_overlap_matches_serial_device_cache(tmp_path):
     """--ingest_overlap: the warmup epoch trains from the image loader while
     the FrameRecorder stages frames; the finalized run must match the
@@ -141,6 +146,7 @@ def test_ingest_overlap_matches_serial_device_cache(tmp_path):
                                                 rel=1e-4)
 
 
+@pytest.mark.slow
 def test_ingest_overlap_shared_val_source(tmp_path):
     """When val shares the train frame source, warmup-epoch validation runs
     through the image loader (the cache isn't built yet) and later
@@ -165,6 +171,7 @@ def test_ingest_overlap_shared_val_source(tmp_path):
     assert t.validate(99) < first
 
 
+@pytest.mark.slow
 def test_ingest_overlap_with_launch_fusion(tmp_path):
     """ingest_overlap composes with steps_per_launch: warmup epoch runs
     per-batch image steps, later epochs use the scanned gather launches."""
@@ -177,6 +184,7 @@ def test_ingest_overlap_with_launch_fusion(tmp_path):
     assert t.validate(99) < first
 
 
+@pytest.mark.slow
 def test_device_cache_meshed_trainer(tmp_path):
     """device_cache x data-parallel mesh: the frame buffer replicates, idx
     shards on batch; first-step loss matches the single-device gather path."""
@@ -195,6 +203,7 @@ def test_device_cache_meshed_trainer(tmp_path):
     assert float(loss_one) == pytest.approx(float(loss_dp), rel=1e-4)
 
 
+@pytest.mark.slow
 def test_steps_per_launch_matches_single_launch(tmp_path):
     """steps_per_launch=K fuses K optimizer steps into one lax.scan launch.
     One K=3 scan launch must compute what 3 single launches compute from

@@ -13,6 +13,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import numpy.testing as npt
 
 from geomapnet_tpu.models import resnet34
@@ -52,6 +53,7 @@ def test_trunk_forward_matches_torch():
     npt.assert_allclose(feats, TRUNK_FEATURES, atol=5e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_resnet50_trunk_forward_matches_torch():
     """Bottleneck graph: Flax resnet50 + converter vs the real torch forward."""
     from geomapnet_tpu.models import resnet50

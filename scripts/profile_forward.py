@@ -77,10 +77,21 @@ def aggregate_xspace(trace_dir: str) -> dict[str, dict[str, float]]:
     return out
 
 
+def report(planes, args):
+    n_img = args.batch * T * args.iters
+    for plane, agg in planes.items():
+        total = sum(agg.values())
+        print(f"\n{plane}: {total:.1f} ms device time over {args.iters} "
+              f"steps ({args.mode}, batch {args.batch}) -> "
+              f"{n_img / (total / 1e3):,.0f} img/s of pure device time")
+        for cat, ms in sorted(agg.items(), key=lambda kv: -kv[1]):
+            print(f"  {cat:40s} {ms:8.2f} ms  {100 * ms / total:5.1f}%")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="bf16",
-                    choices=["bf16", "int8_static", "int8_fused"])
+                    choices=["bf16", "int8_static", "int8_fused", "train"])
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--trace_dir", default=None)
@@ -90,6 +101,32 @@ def main():
     params, stats = variables["params"], variables["batch_stats"]
     x = jax.random.normal(jax.random.PRNGKey(42),
                           (args.batch, T, H, W, 3), jnp.bfloat16)
+
+    if args.mode == "train":
+        # fused train step (fwd+loss+bwd+Adam), loader-style 5D input —
+        # the state chain serializes launches on device by construction
+        from geomapnet_tpu.losses import MapNetCriterion
+        from geomapnet_tpu.train import (
+            create_train_state, make_optimizer, make_train_step)
+
+        crit = MapNetCriterion(learn_beta=True, learn_gamma=True)
+        tx = make_optimizer("adam", 1e-4, weight_decay=5e-4)
+        state = create_train_state(model, crit, tx, jax.random.PRNGKey(0),
+                                   x[:1])
+        tstep = jax.jit(make_train_step(model, crit, tx))
+        targets = jax.random.normal(jax.random.PRNGKey(3),
+                                    (args.batch, T, 6), jnp.float32) * 0.1
+        rng = jax.random.PRNGKey(1)
+        for _ in range(3):
+            state, loss = tstep(state, x, targets, rng)
+        float(loss)
+        trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="fwd_trace_")
+        with jax.profiler.trace(trace_dir):
+            for _ in range(args.iters):
+                state, loss = tstep(state, x, targets, rng)
+            float(loss)
+        report(aggregate_xspace(trace_dir), args)
+        return
 
     if args.mode in ("int8_static", "int8_fused"):
         from geomapnet_tpu.models.quant import (
@@ -131,15 +168,7 @@ def main():
             carry = j(x, carry)
         float(carry)
 
-    planes = aggregate_xspace(trace_dir)
-    n_img = args.batch * T * args.iters
-    for plane, agg in planes.items():
-        total = sum(agg.values())
-        print(f"\n{plane}: {total:.1f} ms device time over {args.iters} fwd "
-              f"({args.mode}, batch {args.batch}) -> "
-              f"{n_img / (total / 1e3):,.0f} img/s of pure device time")
-        for cat, ms in sorted(agg.items(), key=lambda kv: -kv[1]):
-            print(f"  {cat:40s} {ms:8.2f} ms  {100 * ms / total:5.1f}%")
+    report(aggregate_xspace(trace_dir), args)
 
 
 if __name__ == "__main__":

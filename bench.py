@@ -153,11 +153,25 @@ def main():
         fmt = compiled.input_formats[0][-1]
         # a non-identity is required: a jitted identity short-circuits to an
         # alias and silently ignores out_shardings
-        xf = jax.jit(lambda a: a * 1, out_shardings=fmt)(xf)
-        mode += "_fmt"
+        relaid = jax.jit(lambda a: a * 1, out_shardings=fmt)(xf)
+        # XLA may still override the requested output layout (observed on
+        # this backend); only keep the format path if the buffer actually
+        # landed in it — otherwise time_forward's in_shardings would raise.
+        if relaid.format.layout == fmt.layout:
+            xf, mode = relaid, mode + "_fmt"
+        else:
+            fmt = None
     except Exception:
         fmt = None
-    optimized = time_forward(qfwd, var32, xf, ITERS, WARMUP, in_format=fmt)
+    try:
+        optimized = time_forward(qfwd, var32, xf, ITERS, WARMUP,
+                                 in_format=fmt)
+    except Exception:
+        if fmt is None:
+            raise
+        # last-resort: never let the layout fast path sink the bench run
+        fmt, mode = None, mode.replace("_fmt", "")
+        optimized = time_forward(qfwd, var32, xf, ITERS, WARMUP)
 
     print(json.dumps({
         "metric": "eval_images_per_sec_per_chip",

@@ -152,10 +152,19 @@ def main():
         ).lower(xf).compile()
         fmt = compiled.input_formats[0][-1]
         # a non-identity is required: a jitted identity short-circuits to an
-        # alias and silently ignores out_shardings
-        relaid = jax.jit(lambda a: a * 1, out_shardings=fmt)(xf)
-        # XLA may still override the requested output layout (observed on
-        # this backend); only keep the format path if the buffer actually
+        # alias and silently ignores out_shardings. The transpose round-trip
+        # additionally encodes the TARGET layout into the HLO: the
+        # persistent compilation cache does not key on custom output
+        # layouts, so a layout-independent body can return a stale
+        # executable compiled for a different session's layout (observed:
+        # Layout.AUTO picks different layouts across sessions).
+        perm = tuple(int(d) for d in fmt.layout.major_to_minor)
+        inv = tuple(perm.index(i) for i in range(len(perm)))
+        relaid = jax.jit(
+            lambda a: jnp.transpose(jnp.transpose(a, perm), inv) * 1,
+            out_shardings=fmt,
+        )(xf)
+        # Belt and braces: only keep the format path if the buffer actually
         # landed in it — otherwise time_forward's in_shardings would raise.
         if relaid.format.layout == fmt.layout:
             xf, mode = relaid, mode + "_fmt"

@@ -40,7 +40,14 @@ H, W, T = 256, 341, 3
 # knee — bigger batches pay HBM for <1% more.
 BATCH_TUPLES = 128
 WARMUP, ITERS = 3, 20
-BS1_ITERS = 20
+# Baseline protocol (pinned since round 1 for cross-round comparability):
+# 20 chained batch-1 launches + one readback. The single readback RTT makes
+# one rep noisy (vs_baseline swung 11-18x run to run), so take the median
+# of several reps. Raising the iteration count instead would redefine the
+# baseline as pure batch-1 device throughput — the reference's eval style
+# (scripts/eval.py:138-139) is NON-overlapped, so keeping some per-run sync
+# cost in the denominator is the honest emulation.
+BS1_ITERS, BS1_REPS = 20, 5
 
 
 def build(dtype):
@@ -102,7 +109,10 @@ def main():
     # baseline: reference eval style — float32, batch of ONE tuple per launch
     _, var32, fwd32 = build(jnp.float32)
     x1 = jax.random.normal(rng, (1, T, H, W, 3), jnp.float32)
-    baseline = time_forward(fwd32, var32, x1, BS1_ITERS, WARMUP)
+    baseline = sorted(
+        time_forward(fwd32, var32, x1, BS1_ITERS, WARMUP)
+        for _ in range(BS1_REPS)
+    )[BS1_REPS // 2]
 
     # optimized serving path: int8 PTQ trunk with CALIBRATED static
     # activation scales + int8 fc_feat head (models/quant.py; eval CLI

@@ -43,6 +43,7 @@ def export_inference(
     fold_bn: bool = False,
     calib_data=None,
     quantize_heads: bool = False,
+    fuse_requant: bool = False,
 ) -> bytes:
     """Serialize the inference function (weights baked in) to StableHLO.
 
@@ -63,13 +64,25 @@ def export_inference(
     :param calib_data: with ``quantize``, an iterable of preprocessed image
         batches used to bake static activation scales
     :param quantize_heads: with ``quantize``, run the fc_feat matmul int8
+    :param fuse_requant: with ``quantize`` + ``calib_data``, bake the int8
+        DATAFLOW trunk (requantization fused into each conv's epilogue,
+        inter-layer activations stay int8 — the headline serving
+        configuration, +12% over linked int8 on hardware, PERF.md round 4).
+        Needs static scales on every site and a basic-block trunk — the same
+        ``_is_fusable`` contract as the eval CLI's ``--fuse_requant``
     :returns: serialized artifact bytes
     """
     params = jax.device_get(state.params["model"])
     batch_stats = jax.device_get(state.batch_stats)
 
+    if fuse_requant and not (quantize and calib_data is not None):
+        raise ValueError(
+            "fuse_requant needs quantize=True with calib_data "
+            "(static scales on every site)")
+
     if quantize or fold_bn:
         from .models.quant import (
+            _is_fusable,
             calibrate_activation_scales,
             fold_posenet_variables,
             mapnet_apply_int8,
@@ -89,13 +102,17 @@ def export_inference(
         else:
             qtree = fold_posenet_variables(
                 variables, stage_sizes=tuple(trunk.stage_sizes))
+        if fuse_requant and not _is_fusable(qtree):
+            raise ValueError(
+                "fuse_requant needs calibrated static scales on every "
+                "site and a basic-block (resnet18/34) trunk")
 
         def infer(images):
             if preprocess is not None:
                 images = preprocess(images)
             fn = (mapnet_apply_int8 if images.ndim == 5
                   else posenet_apply_int8)
-            return fn(qtree, images)
+            return fn(qtree, images, fused=fuse_requant)
     else:
         def infer(images):
             if preprocess is not None:

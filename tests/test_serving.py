@@ -92,3 +92,55 @@ def test_quantized_export_roundtrip(tmp_path):
     got = np.asarray(load_inference(qblob)(x))
     assert got.shape == ref.shape == (3, 6)
     assert np.abs(got - ref).max() / (np.abs(ref).mean() + 1e-9) < 0.1
+
+
+def test_fused_requant_export_matches_in_process(tmp_path):
+    """The headline serving config (int8 + calibrated scales + fused
+    requant) exports, and the artifact reproduces the in-process fused
+    forward exactly (same qtree, same arithmetic, weights baked in)."""
+    from geomapnet_tpu.models.quant import (
+        calibrate_activation_scales,
+        mapnet_apply_int8,
+        quantize_posenet_variables,
+    )
+
+    model, state = _trained_state()
+    calib = [np.asarray(jax.random.normal(
+        jax.random.PRNGKey(9), (2, 3, 32, 32, 3)))]
+    blob = export_inference(
+        model, state, frame_shape=(3, 32, 32, 3), dtype=jnp.float32,
+        quantize=True, calib_data=calib, quantize_heads=True,
+        fuse_requant=True,
+    )
+    path = tmp_path / "mapnet_int8_fused.shlo"
+    path.write_bytes(blob)
+    infer = load_inference(path)
+
+    qtree = quantize_posenet_variables(
+        {"params": state.params["model"], "batch_stats": state.batch_stats},
+        stage_sizes=(2, 2, 2, 2), quantize_heads=True,
+    )
+    qtree = calibrate_activation_scales(qtree, calib)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 32, 32, 3))
+    # jitted reference: production always runs the fused forward under jit,
+    # and eager bf16 rounds per-op where XLA's fusions keep wider precision
+    ref = np.asarray(jax.jit(
+        lambda xx: mapnet_apply_int8(qtree, xx, fused=True))(x))
+    got = np.asarray(infer(x))
+    assert got.shape == (2, 3, 6)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_requant_export_error_contract():
+    """fuse_requant demands quantize + calib_data (same contract as the
+    eval CLI's --fuse_requant), and a fusable (basic-block) trunk."""
+    import pytest
+
+    model, state = _trained_state()
+    with pytest.raises(ValueError, match="calib_data"):
+        export_inference(model, state, (3, 32, 32, 3), quantize=True,
+                         fuse_requant=True)
+    with pytest.raises(ValueError, match="calib_data"):
+        export_inference(model, state, (3, 32, 32, 3), fold_bn=True,
+                         fuse_requant=True)

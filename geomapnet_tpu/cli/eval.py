@@ -118,7 +118,14 @@ def _evaluate(
     # the 5D parameter before the stem conv (measured +2%,
     # scripts/bench_input_layout.py); pose outputs fold back to (B, T, d)
     # inside the step. MapNet only — VidLoc's recurrence needs the T axis.
-    fold_T = steps if (is_tuple and hasattr(model, "posenet")) else None
+    # Stochastic (eval-dropout) runs stay 5D: the folded branch applies the
+    # posenet submodule directly, which folds the dropout rng at a different
+    # module path ('Dropout' vs 'posenet/Dropout') — the draws would differ
+    # from the 5D path and between the loader and meshed device-cache flows.
+    fold_T = (
+        steps if (is_tuple and hasattr(model, "posenet") and not stochastic)
+        else None
+    )
 
     # device-resident frame cache (data/device_cache.py): frames upload to
     # HBM once; batches become int32 index gathers. ``device_cache`` may be
@@ -248,15 +255,35 @@ def _evaluate(
         # frames live in HBM; each batch is a (B, T) index gather on device
         # (the loader + per-batch image transfer disappear — measured e2e
         # win in PERF.md "device-resident frames")
-        from ..data.device_cache import upload_frames
+        from ..data.device_cache import (
+            make_sharded_gather,
+            upload_frames,
+            upload_frames_sharded,
+        )
 
         frames_src = dataset.dset if is_tuple else dataset
         t_up = time.time()
-        if isinstance(device_cache, bool):
+        if device_cache == "shard":
+            # frame-axis-SHARDED stack: each device holds N/d frames and the
+            # per-batch gather becomes a psum_scatter collective — capacity
+            # scales with device count (scenes > one HBM budget)
+            if mesh is None:
+                raise ValueError(
+                    "device_cache='shard' needs a multi-device mesh "
+                    "(use_mesh=True with batch_size divisible by devices)")
+            frame_buf = upload_frames_sharded(
+                frames_src, mesh, num_workers=num_workers)
+        elif isinstance(device_cache, bool):
             frame_buf = upload_frames(frames_src, num_workers=num_workers)
         else:
             frame_buf = device_cache
-        if mesh is not None:
+        cache_sharded = (
+            mesh is not None
+            and getattr(frame_buf, "sharding", None) is not None
+            and len(frame_buf.sharding.device_set) > 1
+            and not frame_buf.sharding.is_fully_replicated
+        )
+        if mesh is not None and not cache_sharded:
             # pin the buffer replicated over the dp mesh once; each device
             # gathers its own batch shard locally (no collective)
             frame_buf = jax.device_put(frame_buf, replicated(mesh))
@@ -305,7 +332,7 @@ def _evaluate(
         scan_key = (
             id(model), id(preprocess), bool(quantize), bool(fold_bn),
             bool(quantize_heads), bool(fuse_requant), bool(stochastic),
-            is_tuple,
+            is_tuple, fold_T, cache_sharded,
             None if mesh is None else tuple(mesh.devices.flat),
         )
         with _SCAN_CACHE_LOCK:
@@ -317,6 +344,8 @@ def _evaluate(
         if cached is not None:
             scan_jit = cached[0]
         else:
+            sh_gather = make_sharded_gather(mesh) if cache_sharded else None
+
             def epoch_scan(state_, buf_, idx_batches, rngs):
                 def body(carry, xs):
                     ib, rng = xs
@@ -327,8 +356,12 @@ def _evaluate(
                         # scans keep the (B, T) gather — the folded reshape
                         # would merge the dp-sharded batch axis
                         gi = gi.reshape(-1)
+                    # sharded cache: masked local gather + psum_scatter
+                    # (bit-identical values, batch-sharded output)
+                    frames_b = (
+                        sh_gather(buf_, gi) if cache_sharded else buf_[gi])
                     _, out = step_core(
-                        state_, buf_[gi], None,
+                        state_, frames_b, None,
                         rng if stochastic else None)
                     return carry, (out if out.ndim == 3 else out[:, None, :])
                 _, outs = jax.lax.scan(body, 0, (idx_batches, rngs))
@@ -339,13 +372,17 @@ def _evaluate(
             else:
                 # dp over the scan: the index tensor shards on its BATCH
                 # axis (each device evaluates its slice of every scanned
-                # batch against its local replica of the frame buffer)
+                # batch against its local replica of the frame buffer —
+                # or, sharded cache, against the frame-axis shard it owns)
                 from jax.sharding import NamedSharding, PartitionSpec
 
                 rep = replicated(mesh)
                 d2 = NamedSharding(mesh, PartitionSpec(None, "data"))
+                buf_sh = (
+                    NamedSharding(mesh, PartitionSpec("data"))
+                    if cache_sharded else rep)
                 scan_jit = jax.jit(
-                    epoch_scan, in_shardings=(rep, rep, d2, rep))
+                    epoch_scan, in_shardings=(rep, buf_sh, d2, rep))
             # a duplicate compile under a concurrent-eval race is harmless;
             # the insert is last-writer-wins under the lock
             with _SCAN_CACHE_LOCK:
@@ -575,10 +612,14 @@ def main(argv=None):
         "sweeps) decode each frame once",
     )
     parser.add_argument(
-        "--device_cache", action="store_true",
+        "--device_cache", nargs="?", const=True, default=False,
+        choices=["shard"],
         help="upload the whole scene's frames to HBM once and gather "
         "batches by index on device (removes the per-batch host->device "
-        "image transfer; a resized-uint8 scene is 0.25-1.8 GB)",
+        "image transfer; a resized-uint8 scene is 0.25-1.8 GB). "
+        "'--device_cache shard' keeps the stack frame-axis-sharded over "
+        "the mesh instead of replicated — capacity scales with device "
+        "count (scenes bigger than one HBM budget)",
     )
     parser.add_argument(
         "--quantize", choices=["int8"], default=None,

@@ -94,11 +94,14 @@ def main(argv=None):
         "epoch 2+ loads at memory speed (skipped for jittered transforms)",
     )
     parser.add_argument(
-        "--device_cache", action="store_true",
+        "--device_cache", nargs="?", const=True, default=False,
+        choices=["shard"],
         help="upload each split's frames to HBM once and feed training by "
         "on-device index gather: no host decode or image transfer after "
         "the first epoch (replicated over the device mesh; under "
-        "jax.distributed each process decodes only its shard)",
+        "jax.distributed each process decodes only its shard). "
+        "'--device_cache shard' keeps the stack frame-axis-sharded over "
+        "the mesh — capacity scales with device count",
     )
     parser.add_argument(
         "--ingest_overlap", action="store_true",

@@ -2,7 +2,11 @@
 
 from .tuples import TupleSampler
 from .cache import CachedScene
-from .device_cache import upload_frames
+from .device_cache import (
+    make_sharded_gather,
+    upload_frames,
+    upload_frames_sharded,
+)
 from .composite import MF, MFOnline, OnlyPoses
 from .loader import Loader
 from .synthetic import SyntheticScene, make_split_pair

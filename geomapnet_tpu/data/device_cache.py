@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from .loader import Loader
 
 __all__ = [
-    "upload_frames", "upload_frames_global", "upload_dataset_frames",
+    "upload_frames", "upload_frames_global", "upload_frames_sharded",
+    "upload_dataset_frames", "make_sharded_gather", "local_shard_range",
     "frame_sources", "FrameRecorder", "IndexLoader",
 ]
 
@@ -44,7 +45,46 @@ def frame_sources(dataset) -> tuple:
     return (dataset,)
 
 
-def upload_dataset_frames(dataset, mesh=None, **kwargs):
+class _ConcatFrames:
+    """Read-only concatenated view over multiple frame sources (composite
+    datasets), so a SHARDED upload pads only once at the global end — padding
+    each source separately would shift the second source's index offsets
+    that the composite's ``get_indices`` rows encode."""
+
+    def __init__(self, srcs):
+        self.srcs = list(srcs)
+        self._lens = [len(s) for s in self.srcs]
+        self._offs = np.concatenate([[0], np.cumsum(self._lens)])
+
+    def __len__(self):
+        return int(self._offs[-1])
+
+    def _locate(self, i: int):
+        s = int(np.searchsorted(self._offs, i, side="right")) - 1
+        return self.srcs[s], i - int(self._offs[s])
+
+    def get_image(self, i):
+        src, j = self._locate(int(i))
+        return src.get_image(j)
+
+    def get_images(self, idx, num_workers: int = 1):
+        out = [None] * len(idx)
+        by_src: dict = {}
+        for pos, i in enumerate(idx):
+            src, j = self._locate(int(i))
+            by_src.setdefault(id(src), (src, []))[1].append((pos, j))
+        for src, pairs in by_src.values():
+            if hasattr(src, "get_images"):
+                imgs = src.get_images([j for _, j in pairs],
+                                      num_workers=num_workers)
+            else:
+                imgs = [src.get_image(j) for _, j in pairs]
+            for (pos, _), im in zip(pairs, imgs):
+                out[pos] = im
+        return out
+
+
+def upload_dataset_frames(dataset, mesh=None, shard_frames=False, **kwargs):
     """Upload every base frame of ``dataset`` (composite-aware).
 
     Multi-source composites (MFOnline) get ONE concatenated ``(N, H, W, C)``
@@ -54,12 +94,31 @@ def upload_dataset_frames(dataset, mesh=None, **kwargs):
     Under ``jax.distributed`` (``process_count > 1``) pass the global
     ``mesh``: each process then decodes only its shard of the frames and the
     stack replicates over the interconnect (:func:`upload_frames_global`).
+
+    :param shard_frames: ``True`` keeps the stack frame-axis-SHARDED over
+        ``mesh`` (capacity scales with device count; batches gather via
+        :func:`make_sharded_gather`). ``"auto"`` replicates when the stack
+        fits one ``max_bytes`` budget and falls back to sharding when it
+        only fits split across devices (the gather collective costs ~2-3%
+        per step on ICI — replication is preferred while it fits).
     """
+    srcs = frame_sources(dataset)
+    if shard_frames:
+        if mesh is None:
+            raise ValueError("shard_frames needs a mesh")
+        combined = _ConcatFrames(srcs) if len(srcs) > 1 else srcs[0]
+        if shard_frames == "auto":
+            max_bytes = kwargs.get("max_bytes", 8 * 1024 ** 3)
+            probe = _probe_frames(combined, len(combined), float("inf"))
+            if len(combined) * probe.nbytes <= max_bytes:
+                shard_frames = False  # fits replicated: cheaper gathers
+        if shard_frames:
+            return upload_frames_sharded(combined, mesh, **kwargs)
     if mesh is not None and jax.process_count() > 1:
         up = lambda src: upload_frames_global(src, mesh, **kwargs)  # noqa: E731
     else:
         up = lambda src: upload_frames(src, **kwargs)  # noqa: E731
-    bufs = [up(src) for src in frame_sources(dataset)]
+    bufs = [up(src) for src in srcs]
     return jnp.concatenate(bufs, axis=0) if len(bufs) > 1 else bufs[0]
 
 
@@ -190,6 +249,102 @@ def upload_frames_global(
         lambda x: x[:n], out_shardings=rep)(arr)
 
 
+def upload_frames_sharded(
+    frames,
+    mesh,
+    axis: str = "data",
+    num_workers: int = 4,
+    max_bytes: int = 8 * 1024 ** 3,
+    chunk: int = 192,
+):
+    """Frame-axis-SHARDED device cache: capacity scales with device count.
+
+    The replicated cache (:func:`upload_frames`) puts the whole stack in
+    every device's HBM, so capacity is one HBM budget. Here the stack stays
+    ``P(axis)``-sharded on the frame axis — each device holds only N/d
+    frames — and per-batch gathers become a masked local gather + one
+    ``psum_scatter`` over ``axis`` (:func:`make_sharded_gather`), so a scene
+    d× larger than one budget still runs. ``max_bytes`` bounds the
+    PER-DEVICE shard, mirroring :func:`upload_frames`'s per-replica guard.
+
+    Works single- and multi-process alike (``jax.make_array_from_callback``
+    asks each process only for the slices backing its addressable shards,
+    the same decode-sharding as :func:`upload_frames_global` — minus the
+    replicating all-gather). The frame axis pads up to a multiple of the
+    axis size; pad rows repeat the last frame and are never indexed.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n = len(frames)
+    d = int(mesh.shape[axis])
+    probe = _probe_frames(frames, n, float("inf"))
+    per_device = -(-n // d) * probe.nbytes
+    if per_device > max_bytes:
+        raise ValueError(
+            f"sharded frame stack needs {per_device / 2**30:.2f} GiB per "
+            f"device ({n} frames / {d} devices x "
+            f"{probe.nbytes / 2**20:.2f} MiB) > max_bytes "
+            f"{max_bytes / 2**30:.2f} GiB"
+        )
+    n_pad = -(-n // d) * d
+    sharded = NamedSharding(mesh, PartitionSpec(axis))
+
+    def _decode_slice(index):
+        sl = index[0]
+        start = 0 if sl.start is None else sl.start
+        stop = n_pad if sl.stop is None else sl.stop
+        idx = [min(i, n - 1) for i in range(start, stop)]
+        out = []
+        for s in range(0, len(idx), chunk):
+            part = idx[s:s + chunk]
+            if hasattr(frames, "get_images"):
+                imgs = frames.get_images(part, num_workers=num_workers)
+            else:
+                imgs = [frames.get_image(i) for i in part]
+            out.extend(probe if im is None else im for im in imgs)
+        return np.stack(out)
+
+    return jax.make_array_from_callback(
+        (n_pad,) + probe.shape, sharded, _decode_slice)
+
+
+def make_sharded_gather(mesh, axis: str = "data"):
+    """Build ``gather(buf, idx) -> buf[idx]`` for a frame-axis-sharded cache.
+
+    ``buf`` is ``(N_pad, H, W, C)`` sharded ``P(axis)``
+    (:func:`upload_frames_sharded`); ``idx`` is an int32 ``(B,)`` or
+    ``(B, T)`` index array with B divisible by the axis size (the same
+    constraint dp batches already satisfy). Each device gathers the frames
+    it owns for the full batch (out-of-shard rows masked to zero), then one
+    ``psum_scatter`` over ``axis`` both sums the single-owner contributions
+    and leaves the result BATCH-sharded — exactly the downstream sharding
+    the dp step expects from the replicated-cache gather, with bit-identical
+    values (uint8 sums are exact: every row has one owner, the rest are
+    zeros).
+
+    Usable inside jit and ``lax.scan`` bodies (it is a ``shard_map``).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def _gather(buf_l, idx):
+        n_local = buf_l.shape[0]
+        ax = jax.lax.axis_index(axis)
+        loc = idx - ax * n_local
+        ok = (loc >= 0) & (loc < n_local)
+        g = buf_l[jnp.clip(loc, 0, n_local - 1)]
+        mask = ok.reshape(ok.shape + (1,) * (g.ndim - ok.ndim))
+        g = jnp.where(mask, g, jnp.zeros((), g.dtype))
+        return jax.lax.psum_scatter(g, axis, scatter_dimension=0, tiled=True)
+
+    return shard_map(_gather, mesh=mesh, in_specs=(P(axis), P()),
+                     out_specs=P(axis))
+
+
 class FrameRecorder:
     """Capture decoded frames from a live (image-)loader epoch into a host
     staging buffer, so the device-cache upload costs no second decode pass.
@@ -204,22 +359,38 @@ class FrameRecorder:
     ``staging``. ``finalize()`` decodes only the frames the epoch never
     touched and returns the complete stack for one upload: epoch-1 wall
     drops to ~max(decode, train) and the decode is still paid exactly once.
+
+    Multi-host: pass ``lo``/``hi`` to record only the frames backing this
+    process's shard of the global upload
+    (:func:`local_shard_range` — staging memory drops to ~N/P and frames
+    other processes will upload are not staged twice); ``finalize`` then
+    completes just that range and :meth:`as_source` feeds the collective
+    upload (:func:`upload_frames_global` / :func:`upload_frames_sharded`)
+    straight from staging.
     """
 
-    def __init__(self, src, max_bytes: int = 8 * 1024 ** 3):
+    def __init__(self, src, max_bytes: int = 8 * 1024 ** 3,
+                 lo: int = 0, hi: int | None = None):
         self.src = src
         self.n = len(src)
-        probe = _probe_frames(src, self.n, max_bytes)
-        self.staging = np.empty((self.n,) + probe.shape, probe.dtype)
-        self.seen = np.zeros(self.n, bool)
-        self.staging[0] = probe
-        self.seen[0] = True
+        self.lo = int(lo)
+        self.hi = self.n if hi is None else min(int(hi), self.n)
+        n_range = self.hi - self.lo
+        if not 0 < n_range <= self.n:
+            raise ValueError(f"bad record range [{lo}, {hi}) for {self.n}")
+        probe = _probe_frames(src, n_range, max_bytes)
+        self.staging = np.empty((n_range,) + probe.shape, probe.dtype)
+        self.seen = np.zeros(n_range, bool)
+        if self.lo == 0:
+            self.staging[0] = probe
+            self.seen[0] = True
         self._orig: dict = {}
 
     def _record(self, i: int, im) -> None:
-        if im is not None and not self.seen[i]:
-            self.staging[i] = im
-            self.seen[i] = True
+        if im is not None and self.lo <= i < self.hi \
+                and not self.seen[i - self.lo]:
+            self.staging[i - self.lo] = im
+            self.seen[i - self.lo] = True
 
     def install(self) -> "FrameRecorder":
         src = self.src
@@ -252,21 +423,94 @@ class FrameRecorder:
 
     def finalize(self, num_workers: int = 4) -> np.ndarray:
         """Decode the frames the warmup epoch never touched; return the
-        complete (N, H, W, C) stack (corrupt residuals substitute the
-        nearest already-staged frame, mirroring :func:`upload_frames`)."""
+        complete ``(hi - lo, H, W, C)`` stack (corrupt residuals substitute
+        the nearest already-staged frame, mirroring :func:`upload_frames`)."""
         self.restore()
         missing = np.flatnonzero(~self.seen)
         if missing.size:
+            want = [int(i) + self.lo for i in missing]
             if hasattr(self.src, "get_images"):
-                imgs = self.src.get_images(
-                    [int(i) for i in missing], num_workers=num_workers)
+                imgs = self.src.get_images(want, num_workers=num_workers)
             else:
-                imgs = [self.src.get_image(int(i)) for i in missing]
+                imgs = [self.src.get_image(i) for i in want]
+            fallback = (self.seen.nonzero()[0][0] if self.seen.any() else
+                        None)
             for i, im in zip(missing, imgs):
-                self.staging[i] = im if im is not None else self.staging[
-                    self.seen.nonzero()[0][0]]
+                if im is None:
+                    im = (self.staging[fallback] if fallback is not None
+                          else _probe_frames(self.src, 1, float("inf")))
+                self.staging[i] = im
                 self.seen[i] = True
         return self.staging
+
+    def as_source(self, num_workers: int = 4) -> "_StagedSource":
+        """Finalize this recorder's range and return a frame-source view
+        over the FULL ``[0, n)`` index space: staged frames serve from host
+        memory, anything outside ``[lo, hi)`` delegates to the original
+        dataset. Feeds the collective upload paths
+        (:func:`upload_frames_global`, :func:`upload_frames_sharded`) whose
+        per-process callbacks only ever request this process's shard — so
+        the warmup epoch's decode work is never repeated."""
+        self.finalize(num_workers=num_workers)
+        return _StagedSource(self)
+
+
+class _StagedSource:
+    """Frame-source adapter over a finalized :class:`FrameRecorder`."""
+
+    def __init__(self, rec: FrameRecorder):
+        self.rec = rec
+
+    def __len__(self):
+        return self.rec.n
+
+    def get_image(self, i):
+        r = self.rec
+        i = int(i)
+        if r.lo <= i < r.hi:
+            return r.staging[i - r.lo]
+        return r.src.get_image(i)
+
+    def get_images(self, idx, num_workers: int = 1):
+        r = self.rec
+        out = [None] * len(idx)
+        miss = []
+        for pos, i in enumerate(idx):
+            i = int(i)
+            if r.lo <= i < r.hi:
+                out[pos] = r.staging[i - r.lo]
+            else:
+                miss.append((pos, i))
+        if miss:
+            if hasattr(r.src, "get_images"):
+                imgs = r.src.get_images([i for _, i in miss],
+                                        num_workers=num_workers)
+            else:
+                imgs = [r.src.get_image(i) for _, i in miss]
+            for (pos, _), im in zip(miss, imgs):
+                out[pos] = im
+        return out
+
+
+def local_shard_range(n: int, mesh) -> tuple:
+    """Frame-index range ``[lo, hi)`` backing THIS process's addressable
+    shards of the frame-axis-sharded global upload (the same padding and
+    ``P(mesh.axis_names)`` sharding :func:`upload_frames_global` /
+    :func:`upload_frames_sharded` construct). Used to bound a multi-host
+    :class:`FrameRecorder` to the frames this process will actually
+    contribute."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    d = int(mesh.devices.size)
+    n_pad = -(-n // d) * d
+    sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names))
+    imap = sh.devices_indices_map((n_pad,))
+    starts, stops = [], []
+    for dev in sh.addressable_devices:
+        sl = imap[dev][0]
+        starts.append(0 if sl.start is None else int(sl.start))
+        stops.append(n_pad if sl.stop is None else int(sl.stop))
+    return min(starts), min(max(stops), n)
 
 
 class IndexLoader(Loader):

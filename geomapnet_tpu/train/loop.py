@@ -77,7 +77,12 @@ class Trainer:
         own batch shard locally. Under jax.distributed each process decodes
         only its shard of the frames and ONE interconnect all-gather
         replicates the stack (:func:`~geomapnet_tpu.data.device_cache.
-        upload_frames_global`)
+        upload_frames_global`). Pass ``"shard"`` to keep the stack
+        frame-axis-SHARDED over the mesh instead: each device holds N/d
+        frames and batch gathers become a ``psum_scatter`` collective
+        (:func:`~geomapnet_tpu.data.device_cache.make_sharded_gather`) —
+        capacity scales with device count, for scenes bigger than one HBM
+        budget
     :param steps_per_launch: with ``device_cache``, fuse this many optimizer
         steps into ONE device launch (a ``lax.scan`` over stacked index
         batches). Semantics are bit-identical to launching each step —
@@ -94,8 +99,13 @@ class Trainer:
         every decoded frame; the cache finalizes at epoch end from the
         staged frames (decode still paid exactly once). Epoch-1 wall drops
         from ``decode_all + train_epoch`` to ``~max(decode, train)``.
-        Single-process, single-frame-source datasets only (multi-host uses
-        the sharded :func:`upload_frames_global` path instead).
+        Composite datasets with several frame sources (MFOnline) record
+        each source separately and finalize in ``frame_sources`` order;
+        under jax.distributed each process records only the frames backing
+        its shard of the collective upload
+        (:func:`~geomapnet_tpu.data.device_cache.local_shard_range`) and
+        the finalize feeds :func:`upload_frames_global` /
+        :func:`upload_frames_sharded` straight from staging.
     """
 
     def __init__(
@@ -182,7 +192,8 @@ class Trainer:
         self._train_scan = None
         self._eval_scan = None
         self._warmup_pending = False
-        self._recorder = None
+        self._cache_sharded = False
+        self._recorders = []
         self._val_shares_train = False
 
         loader_kwargs = dict(
@@ -260,66 +271,92 @@ class Trainer:
                 self.val_loader is not None
                 and frame_sources(val_dataset) == srcs
             )
-            self._warmup_pending = (
-                ingest_overlap and self.process_count == 1 and len(srcs) == 1
-            )
-            if ingest_overlap and not self._warmup_pending:
-                print("trainer: ingest_overlap needs a single-process run "
-                      "and a single frame source; using the serial upload")
+            self._cache_sharded = device_cache == "shard"
+            if self._cache_sharded and (
+                    self.mesh is None or self.mesh.devices.size == 1):
+                print("trainer: device_cache='shard' needs a multi-device "
+                      "mesh; using the replicated cache")
+                self._cache_sharded = False
+            self._warmup_pending = bool(ingest_overlap)
             # multi-host (jax.distributed): each process decodes only its
             # shard of the frames; one interconnect all-gather replicates
             # the stack (upload_frames_global) — no fallback to the loader
             up_mesh = self.mesh if self.process_count > 1 else None
             if self._warmup_pending:
                 # ingest overlap: the warmup epoch trains from this image
-                # loader while the recorder stages every decoded frame; the
-                # cache finalizes at epoch end (_finalize_device_cache)
-                from ..data.device_cache import FrameRecorder
+                # loader while a recorder per frame source stages every
+                # decoded frame; the cache finalizes at epoch end
+                # (_finalize_device_cache). Multi-host recorders cover only
+                # this process's shard of the collective upload.
+                from ..data.device_cache import (
+                    FrameRecorder, local_shard_range,
+                )
 
-                self._recorder = FrameRecorder(srcs[0]).install()
+                for src in srcs:
+                    lo, hi = (
+                        local_shard_range(len(src), self.mesh)
+                        if self.process_count > 1 else (0, None))
+                    self._recorders.append(
+                        FrameRecorder(src, lo=lo, hi=hi).install())
                 self._train_frames = None
+                wu_kwargs = dict(num_workers=config.num_workers)
+                if self.process_count > 1:
+                    wu_kwargs.update(process_index=self.process_index,
+                                     process_count=self.process_count)
                 self._warmup_loader = Loader(
                     train_dataset, local_bs, shuffle=config.shuffle,
-                    drop_last=True, seed=config.seed,
-                    num_workers=config.num_workers,
+                    drop_last=True, seed=config.seed, **wu_kwargs,
                 )
                 self._warmup_val_loader = (
                     Loader(val_dataset, local_bs, shuffle=False,
-                           drop_last=False, seed=config.seed,
-                           num_workers=config.num_workers)
+                           drop_last=False, seed=config.seed, **wu_kwargs)
                     if (self.val_loader is not None
                         and self._val_shares_train) else None
                 )
                 self._val_frames = (
-                    upload_dataset_frames(val_dataset,
-                                          num_workers=config.num_workers)
+                    upload_dataset_frames(
+                        val_dataset,
+                        mesh=self.mesh if self._cache_sharded else None,
+                        shard_frames=self._cache_sharded,
+                        num_workers=config.num_workers)
                     if (self.val_loader is not None
                         and not self._val_shares_train) else None
                 )
             else:
+                up_kwargs = dict(
+                    mesh=self.mesh if self._cache_sharded else up_mesh,
+                    shard_frames=self._cache_sharded,
+                    num_workers=config.num_workers,
+                )
                 self._train_frames = upload_dataset_frames(
-                    train_dataset, mesh=up_mesh,
-                    num_workers=config.num_workers)
+                    train_dataset, **up_kwargs)
                 self._val_frames = (
                     self._train_frames
                     if self._val_shares_train
-                    else upload_dataset_frames(val_dataset, mesh=up_mesh,
-                                               num_workers=config.num_workers)
+                    else upload_dataset_frames(val_dataset, **up_kwargs)
                     if self.val_loader is not None else None
                 )
 
+            if self._cache_sharded:
+                from ..data.device_cache import make_sharded_gather
+
+                _gather = make_sharded_gather(self.mesh)
+            else:
+                _gather = lambda b, i: b[i]  # noqa: E731 — local gather
+
             def _ts_fn(s, idx, poses, rng, buf):
-                return train_step(s, buf[idx], poses, rng)
+                return train_step(s, _gather(buf, idx), poses, rng)
 
             def _es_fn(s, idx, poses, buf):
-                return eval_step(s, buf[idx], poses)
+                return eval_step(s, _gather(buf, idx), poses)
 
             if self.mesh is not None and self.mesh.devices.size > 1:
                 # pin the buffers replicated ONCE — an uncommitted
                 # single-device arg would re-broadcast on every call
                 # (the multi-host path already returns them replicated;
-                # warmup buffers replicate in _finalize_device_cache)
-                if self.process_count == 1:
+                # warmup buffers replicate in _finalize_device_cache;
+                # sharded buffers are already placed P('data'))
+                if self.process_count == 1 and not self._cache_sharded:
                     rep = replicated(self.mesh)
                     if self._train_frames is not None:
                         self._train_frames = jax.device_put(
@@ -327,12 +364,27 @@ class Trainer:
                     if self._val_frames is not None:
                         self._val_frames = jax.device_put(
                             self._val_frames, rep)
-                _ts = shard_step(_ts_fn, self.mesh, n_batch_args=2,
-                                 n_state_args=1, n_replicated_args=2,
-                                 donate_state=True)
-                _es = shard_step(_es_fn, self.mesh, n_batch_args=2,
-                                 n_state_args=1, n_replicated_args=1,
-                                 donate_state=False)
+                if self._cache_sharded:
+                    # the frame buffer shards on ITS OWN leading (frame)
+                    # axis, so shard_step's state/batch/replicated split
+                    # doesn't fit — spell the shardings out
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    rep_s = replicated(self.mesh)
+                    dat = NamedSharding(self.mesh, PartitionSpec("data"))
+                    _ts = jax.jit(
+                        _ts_fn,
+                        in_shardings=(rep_s, dat, dat, rep_s, dat),
+                        donate_argnums=(0,))
+                    _es = jax.jit(
+                        _es_fn, in_shardings=(rep_s, dat, dat, dat))
+                else:
+                    _ts = shard_step(_ts_fn, self.mesh, n_batch_args=2,
+                                     n_state_args=1, n_replicated_args=2,
+                                     donate_state=True)
+                    _es = shard_step(_es_fn, self.mesh, n_batch_args=2,
+                                     n_state_args=1, n_replicated_args=1,
+                                     donate_state=False)
             else:
                 _ts = jax.jit(_ts_fn, donate_argnums=(0,))
                 _es = jax.jit(_es_fn)
@@ -350,7 +402,7 @@ class Trainer:
                 def _tsk_fn(s, idx_k, poses_k, rng, buf):
                     def body(s_, xs):
                         i_, p_ = xs
-                        return train_step(s_, buf[i_], p_, rng)
+                        return train_step(s_, _gather(buf, i_), p_, rng)
 
                     return jax.lax.scan(body, s, (idx_k, poses_k))
 
@@ -360,8 +412,11 @@ class Trainer:
                     rep = replicated(self.mesh)
                     d2 = NamedSharding(
                         self.mesh, PartitionSpec(None, "data"))
+                    buf_sh = (
+                        NamedSharding(self.mesh, PartitionSpec("data"))
+                        if self._cache_sharded else rep)
                     _tsk = jax.jit(
-                        _tsk_fn, in_shardings=(rep, d2, d2, rep, rep),
+                        _tsk_fn, in_shardings=(rep, d2, d2, rep, buf_sh),
                         donate_argnums=(0,))
                 else:
                     _tsk = jax.jit(_tsk_fn, donate_argnums=(0,))
@@ -374,7 +429,7 @@ class Trainer:
                 def _esk_fn(s, idx_k, poses_k, buf):
                     def body(carry, xs):
                         i_, p_ = xs
-                        loss, _ = eval_step(s, buf[i_], p_)
+                        loss, _ = eval_step(s, _gather(buf, i_), p_)
                         return carry, loss
 
                     _, k_losses = jax.lax.scan(body, 0, (idx_k, poses_k))
@@ -382,7 +437,7 @@ class Trainer:
 
                 if self.mesh is not None and self.mesh.devices.size > 1:
                     _esk = jax.jit(
-                        _esk_fn, in_shardings=(rep, d2, d2, rep))
+                        _esk_fn, in_shardings=(rep, d2, d2, buf_sh))
                 else:
                     _esk = jax.jit(_esk_fn)
                 self._eval_scan = (
@@ -443,18 +498,60 @@ class Trainer:
 
     def _finalize_device_cache(self) -> None:
         """End of the warmup epoch: upload the staged frames, switch the
-        loop onto the index-gather steps (ingest_overlap)."""
-        pre_staged = int(self._recorder.seen.sum())
-        staging = self._recorder.finalize(
-            num_workers=self.config.num_workers)
-        buf = jax.numpy.asarray(staging)
-        if self.mesh is not None and self.mesh.devices.size > 1:
-            buf = jax.device_put(buf, replicated(self.mesh))
+        loop onto the index-gather steps (ingest_overlap). Multi-source
+        recorders concatenate in ``frame_sources`` order (the index space
+        the composite's ``get_indices`` rows encode); multi-host recorders
+        hold only this process's shard, so the finalize feeds the
+        collective uploads straight from staging via ``as_source()``."""
+        nw = self.config.num_workers
+        pre_staged = sum(int(r.seen.sum()) for r in self._recorders)
+        n_total = sum(r.n for r in self._recorders)
+        if self.process_count > 1:
+            # each process staged only its shard range; the callback-driven
+            # collective uploads request exactly those frames from staging
+            # (out-of-range stragglers delegate to the original dataset)
+            from ..data.device_cache import (
+                _ConcatFrames, upload_frames_global, upload_frames_sharded,
+            )
+
+            staged = [r.as_source(num_workers=nw) for r in self._recorders]
+            if self._cache_sharded:
+                combined = (_ConcatFrames(staged) if len(staged) > 1
+                            else staged[0])
+                buf = upload_frames_sharded(combined, self.mesh,
+                                            num_workers=nw)
+            else:
+                bufs = [upload_frames_global(s, self.mesh, num_workers=nw)
+                        for s in staged]
+                buf = (jax.numpy.concatenate(bufs, axis=0)
+                       if len(bufs) > 1 else bufs[0])
+        else:
+            stacks = [r.finalize(num_workers=nw) for r in self._recorders]
+            staging = (np.concatenate(stacks, axis=0) if len(stacks) > 1
+                       else stacks[0])
+            if self._cache_sharded:
+                # staged frames go straight to the frame-axis-sharded
+                # layout (pad rows repeat the last frame; never indexed)
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                d = int(self.mesh.shape["data"])
+                n = staging.shape[0]
+                n_pad = -(-n // d) * d
+                if n_pad != n:
+                    staging = np.concatenate(
+                        [staging,
+                         np.repeat(staging[-1:], n_pad - n, axis=0)])
+                buf = jax.device_put(
+                    staging, NamedSharding(self.mesh, PartitionSpec("data")))
+            else:
+                buf = jax.numpy.asarray(staging)
+                if self.mesh is not None and self.mesh.devices.size > 1:
+                    buf = jax.device_put(buf, replicated(self.mesh))
         self._train_frames = buf
         if self._val_shares_train:
             self._val_frames = buf
         self._warmup_pending = False
-        self._recorder = None
+        self._recorders = []
         # keep epochs 2+ on the same shuffle sequence a no-warmup run would
         # draw: the warmup loader consumed one epoch's permutation, so the
         # index loader's rng advances by exactly one epoch too
@@ -462,7 +559,7 @@ class Trainer:
             self.train_loader.rng.shuffle(
                 np.arange(len(self.train_loader.dataset)))
         print(f"device cache finalized from warmup epoch: "
-              f"{pre_staged}/{staging.shape[0]} frames staged in-epoch")
+              f"{pre_staged}/{n_total} frames staged in-epoch")
 
     def validate(self, epoch: int) -> float:
         # losses accumulate on device; a single readback at the end keeps the

@@ -192,11 +192,21 @@ def make_eval_step(model, criterion=None, preprocess=None,
     scripts/bench_input_layout.py); results are bit-identical (MapNet is
     exactly this fold, models/posenet.py:126-132). 5D batches still take the
     normal path, so one step serves both the loader and device-cache flows.
+
+    ``fold_tuples`` and ``stochastic`` are mutually exclusive: the folded
+    branch applies the posenet submodule directly, so flax folds the dropout
+    rng at a different module path ('Dropout' vs 'posenet/Dropout') and the
+    stochastic draws would silently differ from the 5D path.
     """
     sub = getattr(model, "posenet", None)
     if fold_tuples is not None and sub is None:
         raise ValueError("fold_tuples needs a MapNet-style model "
                          "with a .posenet submodule")
+    if fold_tuples is not None and stochastic:
+        raise ValueError(
+            "fold_tuples is incompatible with stochastic eval: the folded "
+            "apply folds the dropout rng at a different module path than "
+            "the 5D path, so the draws would differ between the two")
 
     def eval_step(state: TrainState, images, targets=None, rng=None):
         if preprocess is not None:

@@ -44,6 +44,66 @@ class TestUploadFrames:
         np.testing.assert_array_equal(buf[4], orig(4))
 
 
+class TestShardedCache:
+    """Frame-axis-sharded cache: capacity scales with device count; the
+    psum_scatter gather is bit-identical to the replicated buf[idx]."""
+
+    def _mesh(self):
+        from geomapnet_tpu.parallel.mesh import make_mesh
+
+        return make_mesh()
+
+    def test_sharded_upload_matches_frames(self):
+        from geomapnet_tpu.data import upload_frames_sharded
+
+        mesh = self._mesh()
+        d = mesh.devices.size
+        ds = SyntheticScene(n_frames=d * 3 - 1, height=16, width=24)  # pads
+        buf = upload_frames_sharded(ds, mesh, chunk=4)
+        assert buf.shape[0] == d * 3  # padded to the axis size
+        assert not buf.sharding.is_fully_replicated
+        want = np.stack([ds.get_image(i) for i in range(len(ds))])
+        got = np.asarray(buf)
+        np.testing.assert_array_equal(got[:len(ds)], want)
+        np.testing.assert_array_equal(got[-1], want[-1])  # pad = last frame
+
+    def test_capacity_scales_with_devices(self):
+        """A stack bigger than one device's budget is refused replicated
+        but fits sharded (the whole point: capacity x device count)."""
+        from geomapnet_tpu.data import upload_frames_sharded
+
+        mesh = self._mesh()
+        d = mesh.devices.size
+        assert d > 1
+        ds = SyntheticScene(n_frames=2 * d, height=16, width=24)
+        budget = ds.get_image(0).nbytes * (d + 1)  # < 2d frames, > 2/dev
+        with pytest.raises(ValueError, match="GiB"):
+            upload_frames(ds, max_bytes=budget)
+        buf = upload_frames_sharded(ds, mesh, max_bytes=budget)
+        assert buf.shape[0] == 2 * d
+
+    def test_sharded_gather_exact(self):
+        from geomapnet_tpu.data import make_sharded_gather, upload_frames_sharded
+
+        mesh = self._mesh()
+        d = mesh.devices.size
+        n = 3 * d
+        ds = SyntheticScene(n_frames=n, height=16, width=24)
+        buf = upload_frames_sharded(ds, mesh)
+        want = np.stack([ds.get_image(i) for i in range(n)])
+        gather = make_sharded_gather(mesh)
+        rng = np.random.RandomState(0)
+        # boundary rows (first/last/shard edges) + random, tuple-shaped
+        idx = rng.randint(0, n, (2 * d, 3)).astype(np.int32)
+        idx[0] = [0, n - 1, n // d]
+        got = np.asarray(jax.jit(gather)(buf, jnp.asarray(idx)))
+        np.testing.assert_array_equal(got, want[idx])
+        # plain (B,) frame indices too
+        idx1 = rng.randint(0, n, (d,)).astype(np.int32)
+        got1 = np.asarray(jax.jit(gather)(buf, jnp.asarray(idx1)))
+        np.testing.assert_array_equal(got1, want[idx1])
+
+
 @pytest.fixture(scope="module")
 def mapnet_state():
     model = MapNet(posenet=PoseNet(
@@ -136,6 +196,54 @@ class TestDeviceCachedEval:
         if has_trace_count:
             assert scan_jit._cache_size() == traced_before
         assert not np.allclose(moved["pred_poses"], first["pred_poses"])
+
+    def test_sharded_cache_matches_replicated_meshed(self, mapnet_state):
+        """--device_cache shard over the dp mesh: same predictions as the
+        replicated cache (the collective gather delivers identical frames;
+        cross-program float noise only)."""
+        model, state = mapnet_state
+        val = MF(SyntheticScene(n_frames=24, height=32, width=48,
+                                train=False), steps=3, skip=2)
+        rep = evaluate(model, state, val, batch_size=8, progress=False,
+                       device_cache=True)
+        sh = evaluate(model, state, val, batch_size=8, progress=False,
+                      device_cache="shard")
+        assert not sh["device_frames"].sharding.is_fully_replicated
+        np.testing.assert_allclose(sh["pred_poses"], rep["pred_poses"],
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_array_equal(sh["targ_poses"], rep["targ_poses"])
+
+    def test_sharded_cache_needs_mesh(self, mapnet_state):
+        model, state = mapnet_state
+        val = MF(SyntheticScene(n_frames=16, height=32, width=48,
+                                train=False), steps=3, skip=2)
+        with pytest.raises(ValueError, match="mesh"):
+            evaluate(model, state, val, batch_size=8, progress=False,
+                     device_cache="shard", use_mesh=False)
+
+    def test_scan_cache_keys_on_steps(self, mapnet_state):
+        """The cached epoch scan bakes fold_T (= dataset.steps) into its
+        closure, so a second eval of the SAME model with a different MF
+        steps must MISS the cache: a stale fold_T would silently regroup
+        poses with the wrong T whenever B*T_new divides by T_old (here
+        6*2 by 3), corrupting the middle-frame metrics (ADVICE round 4)."""
+        from geomapnet_tpu.cli import eval as eval_mod
+
+        model, state = mapnet_state
+        eval_mod._SCAN_CACHE.clear()
+        val3 = MF(SyntheticScene(n_frames=24, height=32, width=48,
+                                 train=False), steps=3, skip=2)
+        val2 = MF(SyntheticScene(n_frames=24, height=32, width=48,
+                                 train=False), steps=2, skip=2)
+        evaluate(model, state, val3, batch_size=6, progress=False,
+                 device_cache=True, use_mesh=False)
+        dc2 = evaluate(model, state, val2, batch_size=6, progress=False,
+                       device_cache=True, use_mesh=False)
+        assert len(eval_mod._SCAN_CACHE) == 2
+        base2 = evaluate(model, state, val2, batch_size=6, progress=False,
+                         use_mesh=False)
+        np.testing.assert_allclose(dc2["pred_poses"], base2["pred_poses"],
+                                   rtol=0, atol=1e-6)
 
     def test_pgo_targets_carry_vos(self, mapnet_state):
         from geomapnet_tpu.data import vos_logq_np

@@ -196,3 +196,38 @@ def test_mapnetpp_device_cache_matches_loader(tmp_path, gps_mode):
     t_dc.train_val()
     losses = _train_losses(tmp_path / "dc" / "mppdc")
     assert losses and np.all(np.isfinite(losses))
+
+
+@pytest.mark.slow
+def test_mapnetpp_ingest_overlap_matches_serial(tmp_path):
+    """--ingest_overlap on MapNet++ (MFOnline, TWO frame sources): a
+    FrameRecorder per source stages the warmup epoch's decodes and the
+    finalize concatenates in ``frame_sources`` order — the finalized buffer
+    and the final weights must match the serial upload-then-train run
+    (VERDICT r4 item 5: the single-source restriction is gone)."""
+    def build(root, **kw):
+        return Trainer(
+            _model(filter_nans=True),
+            MapNetOnlineCriterion(saq=-3.0, srq=-3.0, learn_beta=True,
+                                  learn_gamma=True),
+            _cfg(n_epochs=3, lr=1e-4, max_grad_norm=5.0), "mppio",
+            _online_dataset(False), None,
+            logdir_root=str(root), use_mesh=False, **kw,
+        )
+
+    t_serial = build(tmp_path / "serial", device_cache=True)
+    t_warm = build(tmp_path / "warm", device_cache=True,
+                   ingest_overlap=True)
+    assert t_warm._warmup_pending and t_warm._train_frames is None
+    assert len(t_warm._recorders) == 2  # one per MFOnline frame source
+
+    t_serial.train_val()
+    t_warm.train_val()
+
+    assert not t_warm._warmup_pending
+    np.testing.assert_array_equal(np.asarray(t_warm._train_frames),
+                                  np.asarray(t_serial._train_frames))
+    for a, b in zip(jax.tree.leaves(t_serial.state.params),
+                    jax.tree.leaves(t_warm.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)

@@ -204,6 +204,44 @@ def test_device_cache_meshed_trainer(tmp_path):
 
 
 @pytest.mark.slow
+def test_sharded_device_cache_trains_like_replicated(tmp_path):
+    """device_cache='shard' (frame-axis-sharded HBM stack, psum_scatter
+    gathers) must train to the same weights as the replicated cache: the
+    gather delivers bit-identical frames, so after 2 epochs the parameter
+    trees differ only by cross-program float noise. SGD at a small lr keeps
+    that noise at ulp scale (same rationale as the launch-fusion test)."""
+    import jax
+
+    def build(root, **kw):
+        model = MapNet(posenet=PoseNet(
+            feature_extractor=resnet18(), feat_dim=32, droprate=0.0))
+        criterion = MapNetCriterion(saq=-3.0, srq=-3.0, learn_beta=True,
+                                    learn_gamma=True)
+        cfg = ExperimentConfig(
+            n_epochs=2, batch_size=8, do_val=True, seed=7, snapshot=2,
+            val_freq=10, print_freq=10, opt="sgd", lr=1e-4,
+        )
+        ds = MF(SyntheticScene(n_frames=32, height=32, width=48), steps=3,
+                skip=2)
+        val = MF(SyntheticScene(n_frames=16, height=32, width=48,
+                                train=False), steps=3, skip=2)
+        return Trainer(model, criterion, cfg, "trainer_test", ds, val,
+                       logdir_root=str(root), use_mesh=True, **kw)
+
+    t_rep = build(tmp_path / "rep", device_cache=True)
+    t_sh = build(tmp_path / "sh", device_cache="shard")
+    assert t_sh._cache_sharded
+    assert not t_sh._train_frames.sharding.is_fully_replicated
+    t_rep.train_val()
+    t_sh.train_val()
+    for a, b in zip(jax.tree.leaves(t_rep.state.params),
+                    jax.tree.leaves(t_sh.state.params)):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=0, atol=5e-6)
+
+
+@pytest.mark.slow
 def test_steps_per_launch_matches_single_launch(tmp_path):
     """steps_per_launch=K fuses K optimizer steps into one lax.scan launch.
     One K=3 scan launch must compute what 3 single launches compute from

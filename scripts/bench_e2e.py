@@ -46,21 +46,26 @@ RH, RW = 256, 341  # shortest-side-256 resize
 
 def make_fixture(root: Path, n_frames: int) -> Path:
     """7Scenes-format scene with structured (realistically compressible)
-    native-resolution frames; reused across runs when sizes match."""
+    native-resolution frames; reused across runs when sizes match.
+
+    Only the TEST split (seq-02) feeds the eval ladder, so the train
+    sequence stays small — big ``--frames`` runs (enough batches/epoch to
+    amortize launch dispatch) don't pay double generation/decode."""
     from PIL import Image
 
     scene = root / "deepslam" / "7Scenes" / "heads"
     marker = root / f".fixture_{n_frames}_{H0}x{W0}"
     if marker.exists():
         return root
-    print(f"generating fixture: 2x{n_frames} frames {H0}x{W0} "
+    print(f"generating fixture: {n_frames} test frames {H0}x{W0} "
           f"at {root} ...", flush=True)
     yy, xx = np.mgrid[0:H0, 0:W0].astype(np.float32)
     rng = np.random.RandomState(7)
+    seq_frames = {"seq-01": min(n_frames, 64), "seq-02": n_frames}
     for s, seq_name in enumerate(("seq-01", "seq-02")):
         seq = scene / seq_name
         seq.mkdir(parents=True, exist_ok=True)
-        for i in range(n_frames):
+        for i in range(seq_frames[seq_name]):
             # smooth gradients + texture + mild noise: compresses/decodes
             # like a natural indoor image, not like white noise
             ph = 0.13 * i + s
@@ -124,8 +129,22 @@ def main():
     ap.add_argument("--pil", action="store_true",
                     help="also time the PIL decode path")
     ap.add_argument("--quantize", action="store_true",
-                    help="int8 trunk for the e2e leg")
+                    help="int8 trunk for the e2e legs")
+    ap.add_argument("--calibrate", type=int, default=0, metavar="N",
+                    help="with --quantize: bake static activation scales "
+                    "from N batches of this dataset")
+    ap.add_argument("--quantize_heads", action="store_true",
+                    help="with --quantize: int8 fc_feat head matmul")
+    ap.add_argument("--fuse_requant", action="store_true",
+                    help="with --quantize + --calibrate: int8 dataflow "
+                    "(the bench.py headline configuration)")
+    ap.add_argument("--stages", type=str,
+                    default="decode,loader,e2e,cached,device",
+                    help="comma-separated subset of the ladder to run")
     args = ap.parse_args()
+    stages = set(args.stages.split(","))
+    if args.fuse_requant and not (args.quantize and args.calibrate):
+        ap.error("--fuse_requant needs --quantize and --calibrate N")
 
     root = make_fixture(Path(args.root), args.frames)
 
@@ -149,30 +168,46 @@ def main():
     )
     files = list(frames.c_imgs)
 
+    qkw = dict(quantize=args.quantize, calib_batches=args.calibrate,
+               quantize_heads=args.quantize_heads,
+               fuse_requant=args.fuse_requant)
+    mode = ("int8" + ("_calib" if args.calibrate else "")
+            + ("_heads" if args.quantize_heads else "")
+            + ("_fused" if args.fuse_requant else "")
+            ) if args.quantize else "bf16"
+
     # 1) raw decode ceiling
-    dec = bench_decode(files, args.decode_n, args.workers)
-    print(json.dumps({"stage": "decode",
-                      "images_per_sec": round(dec, 1)}), flush=True)
+    dec = None
+    if "decode" in stages:
+        dec = bench_decode(files, args.decode_n, args.workers)
+        print(json.dumps({"stage": "decode",
+                          "images_per_sec": round(dec, 1)}), flush=True)
 
     if args.pil:
         pil = bench_pil_decode(files, min(64, args.decode_n))
         print(json.dumps({"stage": "pil_decode",
                           "images_per_sec": round(pil, 1),
-                          "native_speedup": round(dec / pil, 2)}), flush=True)
+                          "native_speedup": round(dec / pil, 2)
+                          if dec else None}), flush=True)
+
+    ds = MF(frames, steps=config.steps, skip=config.skip, seed=7)
 
     # 2) loader drain (no device): tuples/s * steps, with frame dedup
-    ds = MF(frames, steps=config.steps, skip=config.skip, seed=7)
-    loader = Loader(ds, args.batch, shuffle=False, drop_last=False,
-                    num_workers=args.workers)
-    n_imgs = 0
-    t0 = time.perf_counter()
-    for imgs, poses, pad in loader:
-        n_imgs += (imgs.shape[0] - pad) * config.steps
-    dt = time.perf_counter() - t0
-    print(json.dumps({"stage": "loader", "images_per_sec":
-                      round(n_imgs / dt, 1),
-                      "unique_decodes_per_sec":
-                      round(len(frames) / dt, 1)}), flush=True)
+    if "loader" in stages:
+        loader = Loader(ds, args.batch, shuffle=False, drop_last=False,
+                        num_workers=args.workers)
+        n_imgs = 0
+        t0 = time.perf_counter()
+        for imgs, poses, pad in loader:
+            n_imgs += (imgs.shape[0] - pad) * config.steps
+        dt = time.perf_counter() - t0
+        print(json.dumps({"stage": "loader", "images_per_sec":
+                          round(n_imgs / dt, 1),
+                          "unique_decodes_per_sec":
+                          round(len(frames) / dt, 1)}), flush=True)
+
+    if not stages & {"e2e", "cached", "device"}:
+        return
 
     # 3) full e2e evaluate(): loader -> uint8 transfer -> jit forward ->
     #    readback -> metrics
@@ -190,20 +225,21 @@ def main():
     )
     preprocess = build_device_preprocess("7Scenes", "heads", asset_root,
                                          dtype=dtype)
-    # warm the compile outside the timed region
-    res = evaluate(model, state, ds, batch_size=args.batch,
-                   preprocess=preprocess, progress=False,
-                   num_workers=args.workers, quantize=args.quantize)
-    res = evaluate(model, state, ds, batch_size=args.batch,
-                   preprocess=preprocess, progress=False,
-                   num_workers=args.workers, quantize=args.quantize)
-    print(json.dumps({"stage": "e2e",
-                      "images_per_sec": round(res["images_per_sec"], 1),
-                      "mode": "int8" if args.quantize else "bf16",
-                      "batch_tuples": args.batch,
-                      "host_bound_fraction":
-                      round(min(1.0, res["images_per_sec"] / dec), 3),
-                      }), flush=True)
+    if "e2e" in stages:
+        # warm the compile outside the timed region
+        res = evaluate(model, state, ds, batch_size=args.batch,
+                       preprocess=preprocess, progress=False,
+                       num_workers=args.workers, **qkw)
+        res = evaluate(model, state, ds, batch_size=args.batch,
+                       preprocess=preprocess, progress=False,
+                       num_workers=args.workers, **qkw)
+        rec = {"stage": "e2e",
+               "images_per_sec": round(res["images_per_sec"], 1),
+               "mode": mode, "batch_tuples": args.batch}
+        if dec:
+            rec["host_bound_fraction"] = round(
+                min(1.0, res["images_per_sec"] / dec), 3)
+        print(json.dumps(rec), flush=True)
 
     # 4) decoded-frame RAM cache (data/cache.py, cli --cache_frames):
     #    epoch 1 pays PNG decode once, epoch 2+ serves resized uint8 from
@@ -213,40 +249,47 @@ def main():
 
     cached = CachedScene(frames, max_bytes=2 * 1024 ** 3)
     ds_c = MF(cached, steps=config.steps, skip=config.skip, seed=7)
-    t0 = time.perf_counter()
-    evaluate(model, state, ds_c, batch_size=args.batch,
-             preprocess=preprocess, progress=False,
-             num_workers=args.workers, quantize=args.quantize)
-    cold_s = time.perf_counter() - t0
-    res_c = evaluate(model, state, ds_c, batch_size=args.batch,
-                     preprocess=preprocess, progress=False,
-                     num_workers=args.workers, quantize=args.quantize)
-    total = cached.hits + cached.misses
-    print(json.dumps({"stage": "e2e_cached_epoch2",
-                      "images_per_sec": round(res_c["images_per_sec"], 1),
-                      "first_epoch_secs": round(cold_s, 1),
-                      "cache_hit_rate": round(cached.hits / total, 3),
-                      "cached_mb": round(cached.cached_bytes / 2 ** 20, 1),
-                      }), flush=True)
+    if "cached" in stages:
+        t0 = time.perf_counter()
+        evaluate(model, state, ds_c, batch_size=args.batch,
+                 preprocess=preprocess, progress=False,
+                 num_workers=args.workers, **qkw)
+        cold_s = time.perf_counter() - t0
+        res_c = evaluate(model, state, ds_c, batch_size=args.batch,
+                         preprocess=preprocess, progress=False,
+                         num_workers=args.workers, **qkw)
+        total = cached.hits + cached.misses
+        print(json.dumps({"stage": "e2e_cached_epoch2",
+                          "images_per_sec": round(res_c["images_per_sec"], 1),
+                          "mode": mode,
+                          "first_epoch_secs": round(cold_s, 1),
+                          "cache_hit_rate": round(cached.hits / total, 3),
+                          "cached_mb": round(
+                              cached.cached_bytes / 2 ** 20, 1),
+                          }), flush=True)
 
     # 5) device-resident frames (--device_cache): one upload, then batches
     #    are int32 index gathers — the per-batch host->device image
     #    transfer (the epoch-2 wall on this rig: ~60 MB/s tunnel)
     #    disappears. Second call reuses the returned buffer.
-    res_d = evaluate(model, state, ds_c, batch_size=args.batch,
-                     preprocess=preprocess, progress=False,
-                     num_workers=args.workers, quantize=args.quantize,
-                     device_cache=True)
-    res_d2 = evaluate(model, state, ds_c, batch_size=args.batch,
-                      preprocess=preprocess, progress=False,
-                      num_workers=args.workers, quantize=args.quantize,
-                      device_cache=res_d["device_frames"])
-    print(json.dumps({"stage": "e2e_device_cached",
-                      "images_per_sec": round(res_d2["images_per_sec"], 1),
-                      "upload_secs": round(res_d["upload_secs"], 1),
-                      "buffer_mb": round(
-                          res_d["device_frames"].nbytes / 2 ** 20, 1),
-                      }), flush=True)
+    if "device" in stages:
+        res_d = evaluate(model, state, ds_c, batch_size=args.batch,
+                         preprocess=preprocess, progress=False,
+                         num_workers=args.workers, device_cache=True, **qkw)
+        res_d2 = evaluate(model, state, ds_c, batch_size=args.batch,
+                          preprocess=preprocess, progress=False,
+                          num_workers=args.workers,
+                          device_cache=res_d["device_frames"], **qkw)
+        print(json.dumps({"stage": "e2e_device_cached",
+                          "images_per_sec": round(
+                              res_d2["images_per_sec"], 1),
+                          "mode": mode,
+                          "batches_per_epoch":
+                          -(-len(ds_c) // args.batch),
+                          "upload_secs": round(res_d["upload_secs"], 1),
+                          "buffer_mb": round(
+                              res_d["device_frames"].nbytes / 2 ** 20, 1),
+                          }), flush=True)
 
 
 if __name__ == "__main__":

@@ -213,10 +213,18 @@ def main():
             big_copies(compiled.as_text()) + [f"entry={fmt_q}"],
             chained_time(q_step(posenet_apply_int8), xf_q, B * T,
                          jit_kwargs={"in_shardings": (fmt_q, None)}))
+        # F4 derives its OWN entry layout: the fused program's preferred
+        # format may differ from F3's, and the reported copy count must come
+        # from the same compiled text that gets timed
+        jq4 = jax.jit(lambda xx: posenet_apply_int8(qtree, xx, fused=True),
+                      in_shardings=(auto,))
+        compiled4 = jq4.lower(xf).compile()
+        fmt_q4 = compiled4.input_formats[0][-1]
+        xf_q4 = jax.jit(lambda a: a * 1, out_shardings=fmt_q4)(xf)
         results["F4_int8_auto_fusedrq"] = (
-            big_copies(q_hlo(posenet_apply_int8, xf, fused=True)),
-            chained_time(q_step(posenet_apply_int8, fused=True), xf_q,
-                         B * T, jit_kwargs={"in_shardings": (fmt_q, None)}))
+            big_copies(compiled4.as_text()) + [f"entry={fmt_q4}"],
+            chained_time(q_step(posenet_apply_int8, fused=True), xf_q4,
+                         B * T, jit_kwargs={"in_shardings": (fmt_q4, None)}))
     except Exception as e:  # pragma: no cover
         results["F3_int8_auto"] = ([f"failed: {e!r}"], 0.0)
 

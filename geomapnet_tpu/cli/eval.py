@@ -218,7 +218,9 @@ def _evaluate(
                 "(static scales on every site)")
 
         def step_core(qtree_, images, targets=None, rng=None):
-            if preprocess is not None:
+            if preprocess is not None and images.dtype != jnp.int8:
+                # int8 input = prequantized device cache (quantize_input_int8
+                # already ran preprocess + stem quantize at upload)
                 images = preprocess(images)
             if images.ndim == 5:
                 out = mapnet_apply_int8(qtree_, images, dtype=apply_dtype,
@@ -287,6 +289,31 @@ def _evaluate(
             # pin the buffer replicated over the dp mesh once; each device
             # gathers its own batch shard locally (no collective)
             frame_buf = jax.device_put(frame_buf, replicated(mesh))
+        # PREQUANTIZED int8 row cache (--fuse_requant + --device_cache):
+        # with static scales the stem's int8 input is a per-frame constant,
+        # so the cache stores it directly — preprocess + quantize run ONCE
+        # at upload instead of per batch, bit-identically (models/quant.py
+        # quantize_input_int8; tests/test_quant.py pins exact equality).
+        # Rows flatten to (N, H*W*C): a contiguous row gather measured +7%
+        # over the 4-D frame gather (PERF.md r5 product-dataflow ladder).
+        prequant = bool(fuse_requant) and not cache_sharded
+        if prequant:
+            from ..models.quant import quantize_input_int8
+
+            if frame_buf.dtype == jnp.int8 and frame_buf.ndim == 2:
+                # reused buffer is already the prequantized row cache; the
+                # frame geometry comes from one probe decode
+                from ..data.device_cache import _probe_frames
+
+                frame_shape = tuple(_probe_frames(
+                    frames_src, len(frames_src), float("inf")).shape)
+            else:
+                frame_shape = tuple(frame_buf.shape[1:])
+                qput = jax.jit(lambda b: quantize_input_int8(
+                    qtree,
+                    preprocess(b) if preprocess is not None else b,
+                ).reshape(b.shape[0], -1))
+                frame_buf = qput(frame_buf)
         upload_secs = time.time() - t_up
 
         S = len(dataset)
@@ -332,7 +359,7 @@ def _evaluate(
         scan_key = (
             id(model), id(preprocess), bool(quantize), bool(fold_bn),
             bool(quantize_heads), bool(fuse_requant), bool(stochastic),
-            is_tuple, fold_T, cache_sharded,
+            is_tuple, fold_T, cache_sharded, prequant,
             None if mesh is None else tuple(mesh.devices.flat),
         )
         with _SCAN_CACHE_LOCK:
@@ -360,6 +387,11 @@ def _evaluate(
                     # (bit-identical values, batch-sharded output)
                     frames_b = (
                         sh_gather(buf_, gi) if cache_sharded else buf_[gi])
+                    if prequant:
+                        # row cache: (.., H*W*C) int8 rows -> frames (the
+                        # reshape is free; the step skips preprocess+quant
+                        # on int8 input)
+                        frames_b = frames_b.reshape(gi.shape + frame_shape)
                     _, out = step_core(
                         state_, frames_b, None,
                         rng if stochastic else None)

@@ -397,7 +397,11 @@ def _trunk_forward_fused(qtree: Mapping, x: jnp.ndarray,
 
     c1 = trunk["conv1"]
     s_in = _site_scale(c1)
-    y = _deq(_conv_acc(_q8(x.astype(jnp.float32), s_in), c1, (2, 2),
+    # int8 input passes through untouched: the caller pre-quantized at the
+    # stem's STATIC scale (quantize_input_int8 — e.g. a prequantized device
+    # cache, where each frame's int8 stem input is a per-frame constant)
+    qx = x if x.dtype == jnp.int8 else _q8(x.astype(jnp.float32), s_in)
+    y = _deq(_conv_acc(qx, c1, (2, 2),
                        [(3, 3), (3, 3)]), c1, s_in)
     y = jax.nn.relu(y)
     qy = _q8(y, _site_scale(blocks[0]["conv1"]))
@@ -455,6 +459,24 @@ def _apply_heads(qtree: Mapping, feat: jnp.ndarray, dtype) -> jnp.ndarray:
     return jnp.concatenate([xyz, wpqr], axis=-1)
 
 
+def quantize_input_int8(qtree: Mapping, images: jnp.ndarray) -> jnp.ndarray:
+    """Pre-quantize preprocessed images to the stem conv's STATIC scale.
+
+    With calibrated scales the fused trunk's int8 stem input is a pure
+    per-frame elementwise function — it does not depend on the batch — so a
+    device frame cache can store THIS tensor (1 byte/elem, same size as the
+    raw uint8 frames) and feed :func:`posenet_apply_int8` ``fused=True``
+    directly: the per-batch normalize + quantize chain disappears from the
+    serving program, bit-identically (PERF.md round 5 "prequantized device
+    cache"). Requires a static ``x_scale`` on the stem site.
+    """
+    c1 = qtree["trunk"]["conv1"]
+    if "qkernel" not in c1 or "x_scale" not in c1:
+        raise ValueError("quantize_input_int8 needs an int8 trunk with a "
+                         "calibrated static stem scale (--calibrate N)")
+    return _q8(images.astype(jnp.float32), _site_scale(c1))
+
+
 def posenet_apply_int8(qtree: Mapping, images: jnp.ndarray,
                        dtype=jnp.bfloat16, fused: bool = False
                        ) -> jnp.ndarray:
@@ -473,6 +495,9 @@ def posenet_apply_int8(qtree: Mapping, images: jnp.ndarray,
                 "site and a basic-block (resnet18/34) trunk")
         feat = _trunk_forward_fused(qtree, images, dtype)
     else:
+        if images.dtype == jnp.int8:
+            raise ValueError("prequantized int8 input "
+                             "(quantize_input_int8) needs fused=True")
         feat = _trunk_forward(qtree, images.astype(dtype), dtype)
     return _apply_heads(qtree, feat, dtype)
 

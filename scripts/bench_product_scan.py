@@ -1,0 +1,208 @@
+"""Product-dataflow ladder: uint8 device cache -> gather -> normalize ->
+fused int8 trunk, measured as the eval CLI actually runs it (an epoch
+``lax.scan`` over index batches inside ONE launch).
+
+Round-5 motivation: the first product-dataflow bench harness launched one
+batch per call and measured 10.2k img/s against 15.5k of pure device time —
+the 512 MB cache argument made per-call dispatch expensive, an artifact of
+the harness, not the product (cli/eval.py passes the buffer once per EPOCH
+scan). This ladder scans K batches per launch and isolates the remaining
+device-side costs:
+
+  A  scan, default cache layout          (gather relayout paid per batch)
+  B  scan, cache in its AUTO layout      (relayout paid ONCE at upload)
+  C  B + contiguous index batches        (gather locality probe)
+  D  no-gather control: fixed folded uint8 batch through the same scan
+
+Usage (real chip): python scripts/bench_product_scan.py [--k 16] [--reps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from bench import (  # noqa: E402
+    BATCH_TUPLES,
+    H,
+    N_CACHE_FRAMES,
+    T,
+    W,
+    build,
+    build_preprocess,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=16,
+                    help="scanned batches per launch")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=BATCH_TUPLES)
+    args = ap.parse_args()
+
+    from geomapnet_tpu.models.quant import (
+        calibrate_activation_scales,
+        posenet_apply_int8,
+        quantize_posenet_variables,
+    )
+
+    _, var32, _ = build(jnp.float32)
+    preprocess = build_preprocess()
+    qtree = quantize_posenet_variables(
+        {"params": var32["params"], "batch_stats": var32["batch_stats"]},
+        quantize_heads=True,
+    )
+    calib = jax.jit(preprocess)(jax.random.randint(
+        jax.random.PRNGKey(7), (8 * T, H, W, 3), 0, 256, jnp.uint8))
+    qtree = jax.device_put(calibrate_activation_scales(qtree, [calib]))
+
+    nb = args.batch * T
+    buf = jax.random.randint(
+        jax.random.PRNGKey(11), (N_CACHE_FRAMES, H, W, 3), 0, 256, jnp.uint8)
+
+    def epoch(buf_, idx_batches, carry):
+        def body(c, ib):
+            x = preprocess(buf_[ib])
+            out = posenet_apply_int8(qtree, x, fused=True)
+            return c + jnp.sum(out.astype(jnp.float32)) * 1e-12, ()
+
+        c, _ = jax.lax.scan(body, carry, idx_batches)
+        return c
+
+    rng = np.random.RandomState(0)
+    idx_shuf = np.stack([
+        rng.permutation(N_CACHE_FRAMES)[:nb] for _ in range(args.k)
+    ]).astype(np.int32)
+    idx_seq = (np.arange(args.k)[:, None] * nb
+               + np.arange(nb)[None, :]).astype(np.int32) % N_CACHE_FRAMES
+
+    def timed(fn, buf_, idx, label):
+        idx = jnp.asarray(idx)
+        carry = jnp.zeros(())
+        carry = fn(buf_, idx, carry)
+        float(carry)  # warm + flush
+        best = 0.0
+        for _ in range(args.reps):
+            carry = jnp.zeros(())
+            t0 = time.perf_counter()
+            carry = fn(buf_, idx, carry)
+            float(carry)
+            dt = time.perf_counter() - t0
+            best = max(best, args.k * nb / dt)
+        print(json.dumps({"variant": label,
+                          "images_per_sec": round(best, 1),
+                          "k": args.k, "batch_tuples": args.batch}),
+              flush=True)
+        return best
+
+    # A: default cache layout
+    jA = jax.jit(epoch)
+    timed(jA, buf, idx_shuf, "A_scan_default_layout")
+
+    # B: cache in the program's preferred (AUTO) layout — the relayout the
+    # per-batch gather would otherwise pay moves to ONE placement at upload
+    try:
+        from jax._src.layout import Format, Layout
+
+        auto = Format(Layout.AUTO)
+        compiled = jax.jit(epoch, in_shardings=(auto, None, None)).lower(
+            buf, jnp.asarray(idx_shuf), jnp.zeros(())).compile()
+        fmt = compiled.input_formats[0][0]
+        perm = tuple(int(d) for d in fmt.layout.major_to_minor)
+        inv = tuple(perm.index(i) for i in range(len(perm)))
+        buf_fmt = jax.jit(
+            lambda a: jnp.transpose(jnp.transpose(a, perm), inv)
+            .astype(jnp.uint8), out_shardings=fmt)(buf)
+        if buf_fmt.format.layout == fmt.layout:
+            jB = jax.jit(epoch, in_shardings=(fmt, None, None))
+            timed(jB, buf_fmt, idx_shuf, f"B_scan_auto_layout_{perm}")
+            timed(jB, buf_fmt, idx_seq, "C_auto_layout_contiguous_idx")
+        else:
+            print(json.dumps({"variant": "B_scan_auto_layout",
+                              "skipped": f"relayout landed "
+                              f"{buf_fmt.format.layout}"}), flush=True)
+    except Exception as e:  # pragma: no cover - API drift
+        print(json.dumps({"variant": "B_scan_auto_layout",
+                          "skipped": repr(e)}), flush=True)
+
+    # D: no-gather control — the same scan over a FIXED folded uint8 batch
+    xfix = jax.random.randint(jax.random.PRNGKey(3), (nb, H, W, 3), 0, 256,
+                              jnp.uint8)
+
+    def epoch_fix(x_, idx_batches, carry):
+        def body(c, ib):
+            x = preprocess(x_ + (c * 0).astype(jnp.uint8))
+            out = posenet_apply_int8(qtree, x, fused=True)
+            return c + jnp.sum(out.astype(jnp.float32)) * 1e-12, ()
+
+        c, _ = jax.lax.scan(body, carry, idx_batches)
+        return c
+
+    jD = jax.jit(epoch_fix)
+    timed(jD, xfix, idx_shuf, "D_no_gather_control")
+
+    # E: row-contiguous cache — (N, H*W*3) rows gather as pure contiguous
+    # DMA (the 4-D frame gather measured ~63 GB/s; C=3 minormost starves
+    # the lanes), then a free reshape back to frames
+    buf2d = buf.reshape(N_CACHE_FRAMES, H * W * 3)
+
+    def epoch_rows(buf_, idx_batches, carry):
+        def body(c, ib):
+            x = preprocess(buf_[ib].reshape(nb, H, W, 3))
+            out = posenet_apply_int8(qtree, x, fused=True)
+            return c + jnp.sum(out.astype(jnp.float32)) * 1e-12, ()
+
+        c, _ = jax.lax.scan(body, carry, idx_batches)
+        return c
+
+    timed(jax.jit(epoch_rows), buf2d, idx_shuf, "E_row_cache_gather")
+
+    # F: PREQUANTIZED int8 cache — the stem's static-scale int8 input is a
+    # per-frame constant, so the cache stores it directly (same bytes as
+    # uint8) and the per-batch normalize+quantize chain disappears,
+    # bit-identically (models/quant.py quantize_input_int8)
+    from geomapnet_tpu.models.quant import quantize_input_int8
+
+    qbuf = jax.jit(lambda b: quantize_input_int8(qtree, preprocess(b)))(buf)
+    qbuf2d = qbuf.reshape(N_CACHE_FRAMES, H * W * 3)
+
+    def epoch_preq(buf_, idx_batches, carry):
+        def body(c, ib):
+            x = buf_[ib].reshape(nb, H, W, 3)
+            out = posenet_apply_int8(qtree, x, fused=True)
+            return c + jnp.sum(out.astype(jnp.float32)) * 1e-12, ()
+
+        c, _ = jax.lax.scan(body, carry, idx_batches)
+        return c
+
+    timed(jax.jit(epoch_preq), qbuf2d, idx_shuf, "F_prequant_row_cache")
+
+    def epoch_preq4d(buf_, idx_batches, carry):
+        def body(c, ib):
+            out = posenet_apply_int8(qtree, buf_[ib], fused=True)
+            return c + jnp.sum(out.astype(jnp.float32)) * 1e-12, ()
+
+        c, _ = jax.lax.scan(body, carry, idx_batches)
+        return c
+
+    timed(jax.jit(epoch_preq4d), qbuf, idx_shuf, "G_prequant_4d_cache")
+
+
+if __name__ == "__main__":
+    main()

@@ -443,3 +443,76 @@ class TestBottleneckQuant:
         assert got.shape == ref.shape == (2, 6)
         scale = np.abs(ref).mean()
         assert np.abs(got - ref).max() / scale < 0.08
+
+class TestPrequantizedInput:
+    """quantize_input_int8: the stem's static-scale int8 input is a
+    per-frame constant, so a device cache can store it and feed the fused
+    trunk directly — BIT-identically to quantizing after the gather."""
+
+    def _calibrated(self, float_model):
+        _, variables = float_model
+        q = quantize_posenet_variables(variables, stage_sizes=STAGES,
+                                       quantize_heads=True)
+        calib = [jax.random.normal(jax.random.PRNGKey(7), (4, 64, 96, 3))]
+        return calibrate_activation_scales(q, calib, dtype=jnp.float32)
+
+    def test_bit_identical_to_inline_quantize(self, float_model):
+        from geomapnet_tpu.models.quant import quantize_input_int8
+
+        qc = self._calibrated(float_model)
+        x = jax.random.normal(jax.random.PRNGKey(9), (4, 64, 96, 3))
+        ref = np.asarray(jax.jit(
+            lambda xx: posenet_apply_int8(qc, xx, dtype=jnp.float32,
+                                          fused=True))(x))
+        qx = jax.jit(lambda xx: quantize_input_int8(qc, xx))(x)
+        assert qx.dtype == jnp.int8
+        got = np.asarray(jax.jit(
+            lambda xx: posenet_apply_int8(qc, xx, dtype=jnp.float32,
+                                          fused=True))(qx))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_error_contracts(self, float_model):
+        from geomapnet_tpu.models.quant import quantize_input_int8
+
+        _, variables = float_model
+        q = quantize_posenet_variables(variables, stage_sizes=STAGES)
+        x = jnp.zeros((2, 64, 96, 3))
+        with pytest.raises(ValueError, match="calibrate"):
+            quantize_input_int8(q, x)  # no static scales baked
+        qc = self._calibrated(float_model)
+        qx = quantize_input_int8(qc, x)
+        with pytest.raises(ValueError, match="fused"):
+            posenet_apply_int8(qc, qx, fused=False)
+
+
+@pytest.mark.slow
+def test_evaluate_fused_device_cache_prequant_matches_loader():
+    """--fuse_requant + --device_cache: the cache stores the PREQUANTIZED
+    int8 stem input as flat rows (quantize_input_int8 at upload); the
+    scanned gather epoch must compute what the per-batch loader path
+    computes, and a returned buffer must be reusable as-is."""
+    from geomapnet_tpu.cli.eval import evaluate
+    from geomapnet_tpu.data import MF, SyntheticScene
+    from geomapnet_tpu.losses import MapNetCriterion
+    from geomapnet_tpu.train import create_train_state, make_optimizer
+
+    model = MapNet(posenet=_posenet())
+    ds = MF(SyntheticScene(n_frames=16, height=64, width=96, train=False),
+            steps=3, skip=1)
+    state = create_train_state(
+        model, MapNetCriterion(), make_optimizer("adam", 1e-4),
+        jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 96, 3)),
+    )
+    kw = dict(batch_size=4, progress=False, use_mesh=False, quantize=True,
+              calib_batches=1, quantize_heads=True, fuse_requant=True)
+    base = evaluate(model, state, ds, **kw)
+    dc = evaluate(model, state, ds, device_cache=True, **kw)
+    buf = dc["device_frames"]
+    assert buf.dtype == jnp.int8 and buf.ndim == 2  # prequantized rows
+    # static scales: stem quantization is per-frame elementwise, identical
+    # whether it runs at upload or per batch (cross-program f32 preprocess
+    # rounding only)
+    np.testing.assert_allclose(dc["pred_poses"], base["pred_poses"],
+                               rtol=0, atol=0.03)
+    reuse = evaluate(model, state, ds, device_cache=buf, **kw)
+    np.testing.assert_array_equal(reuse["pred_poses"], dc["pred_poses"])

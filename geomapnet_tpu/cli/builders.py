@@ -47,12 +47,17 @@ def build_model(
     config: ExperimentConfig,
     dtype=jnp.float32,
     trunk: str = "resnet34",
+    bn_bf16_bwd: bool = False,
 ) -> tuple:
     """Returns (flax module, is_tuple_model).
 
     ``trunk`` selects the feature extractor (the reference hard-codes
     resnet34 at /root/reference/scripts/train.py:76, but its PoseNet accepts
     any torchvision trunk — /root/reference/models/posenet.py:36-46).
+    ``bn_bf16_bwd`` enables the bfloat16 BN backward (+4-5% train step on
+    hardware, all 200-step parity envelopes green — docs/
+    TRAIN_PARITY_BN_BF16BWD.md; forward bit-identical, default off so the
+    exact per-step golden guarantees hold).
     """
     from ..models import resnet18, resnet50
 
@@ -61,7 +66,8 @@ def build_model(
     if trunk not in trunks:
         raise ValueError(f"unknown trunk {trunk!r}; pick from {sorted(trunks)}")
     posenet = PoseNet(
-        feature_extractor=trunks[trunk](dtype=dtype),
+        feature_extractor=trunks[trunk](dtype=dtype,
+                                        bn_bf16_bwd=bn_bf16_bwd),
         droprate=config.dropout,
         filter_nans=(model_name == "mapnet++"),
         dtype=dtype,

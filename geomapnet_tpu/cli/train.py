@@ -118,6 +118,11 @@ def main(argv=None):
     )
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a JAX profiler trace of early batches")
+    parser.add_argument(
+        "--bn_bf16_bwd", action="store_true",
+        help="bfloat16 BatchNorm backward: +4-5%% train step on TPU, "
+        "forward bit-identical, grads perturbed at bf16 rounding — all "
+        "200-step parity envelopes green (docs/TRAIN_PARITY_BN_BF16BWD.md)")
     parser.add_argument("--debug_nans", action="store_true",
                         help="fail fast on the first NaN in jitted code")
     parser.add_argument(
@@ -144,7 +149,8 @@ def main(argv=None):
     config = parse_ini(args.config_file)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
-    model, _ = build_model(args.model, config, dtype=dtype, trunk=args.trunk)
+    model, _ = build_model(args.model, config, dtype=dtype,
+                           trunk=args.trunk, bn_bf16_bwd=args.bn_bf16_bwd)
     train_criterion, val_criterion = build_criteria(
         args.model, config, args.learn_beta, args.learn_gamma
     )

@@ -33,6 +33,74 @@ __all__ = ["ResNet", "resnet18", "resnet34", "resnet50"]
 kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
+def _bn_train_stats(x, epsilon):
+    """Single-pass f32 batch statistics (see BatchNorm.__call__ note)."""
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(xf, axes)
+    var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)  # biased
+    r = jax.lax.rsqrt(var + epsilon)
+    return xf, mean, var, r
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def bn_train_norm_bf16bwd(x, scale, bias, epsilon):
+    """Batch-stats BN normalize+affine with a bfloat16 BACKWARD.
+
+    The forward is bit-identical to the default f32 path (same single-pass
+    ``E[x^2]-E[x]^2`` statistics, same f32 normalize/affine association).
+    The backward computes the big per-element tensors (the incoming grad and
+    x_hat — e.g. f32[B,128,171,64] on the ResNet stem) in bfloat16, roughly
+    halving the HBM traffic of the autodiff backward, while every REDUCTION
+    accumulates in f32 and the per-channel coefficients stay f32.
+
+    Returns ``(y, mean, var)``. The mean/var outputs exist ONLY for the
+    running-statistics update, which is never differentiated (flax mutable
+    collections sit outside the grad closure), so their cotangents are
+    structurally zero and the vjp drops them — do not differentiate through
+    the mean/var outputs of this function.
+
+    Bounded experiment per VERDICT r4 item 6; measured on hardware in
+    PERF.md round 5 and gated behind ``ResNet(bn_bf16_bwd=True)`` /
+    ``bench_train --bn_bf16_bwd``.
+    """
+    xf, mean, var, r = _bn_train_stats(x, epsilon)
+    y = (xf - mean) * r * scale + bias
+    return y, mean, var
+
+
+def _bn_bf16bwd_fwd(x, scale, bias, epsilon):
+    xf, mean, var, r = _bn_train_stats(x, epsilon)
+    xhat = (xf - mean) * r
+    y = xhat * scale + bias
+    # zero-size proto carries x's dtype through the residuals (a raw dtype
+    # object is not a valid JAX residual leaf)
+    return (y, mean, var), (xhat.astype(jnp.bfloat16), scale, r,
+                            jnp.zeros((0,), x.dtype))
+
+
+def _bn_bf16bwd_bwd(epsilon, res, cts):
+    g = cts[0]  # mean/var cotangents: structurally zero (running stats only)
+    xhat, scale, r, x_proto = res
+    x_dtype = x_proto.dtype
+    axes = tuple(range(g.ndim - 1))
+    n = g.size // g.shape[-1]
+    gb = g.astype(jnp.bfloat16)
+    sum_g = jnp.sum(gb, axes, dtype=jnp.float32)
+    sum_gx = jnp.sum(gb * xhat, axes, dtype=jnp.float32)
+    # dx = (gamma r) (g - mean(g) - xhat mean(g xhat)): element math bf16,
+    # per-channel coefficients f32
+    coef = (scale.astype(jnp.float32) * r).astype(jnp.bfloat16)
+    dx = coef * (gb
+                 - (sum_g / n).astype(jnp.bfloat16)
+                 - xhat * (sum_gx / n).astype(jnp.bfloat16))
+    return (dx.astype(x_dtype), sum_gx.astype(scale.dtype),
+            sum_g.astype(scale.dtype))
+
+
+bn_train_norm_bf16bwd.defvjp(_bn_bf16bwd_fwd, _bn_bf16bwd_bwd)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with torch's running-statistics semantics.
 
@@ -50,6 +118,7 @@ class BatchNorm(nn.Module):
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    bf16_backward: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -65,6 +134,18 @@ class BatchNorm(nn.Module):
 
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
+        elif self.bf16_backward:
+            # same forward values as the default branch (see
+            # bn_train_norm_bf16bwd: identical stats + association), but the
+            # backward's big elementwise/multiply-reduce tensors go bf16
+            y, mean, var = bn_train_norm_bf16bwd(
+                x, scale.astype(jnp.float32), bias.astype(jnp.float32),
+                self.epsilon)
+            mean = jax.lax.stop_gradient(mean)
+            var = jax.lax.stop_gradient(var)
+            self._update_running(ra_mean, ra_var, mean, var,
+                                 x.size // features)
+            return y.astype(self.dtype)
         else:
             xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
@@ -73,21 +154,23 @@ class BatchNorm(nn.Module):
             # mean((x-mean)^2) pass measured ~8% slower on the train step
             mean = jnp.mean(xf, axes)
             var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)  # biased
-            if not self.is_initializing():
-                n = x.size // features
-                unbiased = var * (n / max(n - 1, 1))
-                ra_mean.value = (
-                    self.momentum * ra_mean.value
-                    + (1.0 - self.momentum) * mean
-                )
-                ra_var.value = (
-                    self.momentum * ra_var.value
-                    + (1.0 - self.momentum) * unbiased
-                )
+            self._update_running(ra_mean, ra_var, mean, var,
+                                 x.size // features)
 
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
         return y.astype(self.dtype)
+
+    def _update_running(self, ra_mean, ra_var, mean, var, n: int) -> None:
+        if self.is_initializing():
+            return
+        unbiased = var * (n / max(n - 1, 1))
+        ra_mean.value = (
+            self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+        )
+        ra_var.value = (
+            self.momentum * ra_var.value + (1.0 - self.momentum) * unbiased
+        )
 
 
 class BasicBlock(nn.Module):
@@ -96,6 +179,7 @@ class BasicBlock(nn.Module):
     filters: int
     stride: int = 1
     dtype: Any = jnp.float32
+    bn_bf16_bwd: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -113,6 +197,7 @@ class BasicBlock(nn.Module):
             epsilon=1e-5,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
+            bf16_backward=self.bn_bf16_bwd,
         )
 
         identity = x
@@ -140,6 +225,7 @@ class Bottleneck(nn.Module):
     filters: int  # bottleneck width; the block outputs filters * 4
     stride: int = 1
     dtype: Any = jnp.float32
+    bn_bf16_bwd: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -157,6 +243,7 @@ class Bottleneck(nn.Module):
             epsilon=1e-5,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
+            bf16_backward=self.bn_bf16_bwd,
         )
 
         out_ch = self.filters * 4
@@ -190,6 +277,9 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     block_cls: type = BasicBlock
     dtype: Any = jnp.float32
+    # bf16 BN backward (bn_train_norm_bf16bwd): forward bit-identical,
+    # grads perturbed at bf16 rounding — measured in PERF.md round 5
+    bn_bf16_bwd: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -202,7 +292,8 @@ class ResNet(nn.Module):
         )(x)
         x = BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, param_dtype=jnp.float32, name="bn1",
+            dtype=jnp.float32, param_dtype=jnp.float32,
+            bf16_backward=self.bn_bf16_bwd, name="bn1",
         )(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -214,6 +305,7 @@ class ResNet(nn.Module):
                 stride = 2 if (stage > 0 and block == 0) else 1
                 x = self.block_cls(
                     filters=filters, stride=stride, dtype=self.dtype,
+                    bn_bf16_bwd=self.bn_bf16_bwd,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train=train)
 
@@ -223,19 +315,24 @@ class ResNet(nn.Module):
         return x
 
 
-def resnet34(dtype: Any = jnp.float32, name: str | None = None) -> ResNet:
+def resnet34(dtype: Any = jnp.float32, name: str | None = None,
+             bn_bf16_bwd: bool = False) -> ResNet:
     """ResNet-34 trunk — the reference's feature extractor."""
-    return ResNet(stage_sizes=(3, 4, 6, 3), dtype=dtype, name=name)
+    return ResNet(stage_sizes=(3, 4, 6, 3), dtype=dtype, name=name,
+                  bn_bf16_bwd=bn_bf16_bwd)
 
 
-def resnet18(dtype: Any = jnp.float32, name: str | None = None) -> ResNet:
+def resnet18(dtype: Any = jnp.float32, name: str | None = None,
+             bn_bf16_bwd: bool = False) -> ResNet:
     """ResNet-18 trunk (lighter option for ablations/tests)."""
-    return ResNet(stage_sizes=(2, 2, 2, 2), dtype=dtype, name=name)
+    return ResNet(stage_sizes=(2, 2, 2, 2), dtype=dtype, name=name,
+                  bn_bf16_bwd=bn_bf16_bwd)
 
 
-def resnet50(dtype: Any = jnp.float32, name: str | None = None) -> ResNet:
+def resnet50(dtype: Any = jnp.float32, name: str | None = None,
+             bn_bf16_bwd: bool = False) -> ResNet:
     """ResNet-50 trunk (2048-d features): the reference's PoseNet accepts any
     torchvision trunk (/root/reference/models/posenet.py:36-46), so heavier
     backbones are first-class here too."""
     return ResNet(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, dtype=dtype,
-                  name=name)
+                  name=name, bn_bf16_bwd=bn_bf16_bwd)

@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--f32", action="store_true", help="float32 compute")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialized backward (jax.checkpoint)")
+    ap.add_argument("--bn_bf16_bwd", action="store_true",
+                    help="bfloat16 BN backward (forward bit-identical; "
+                    "models/resnet.py bn_train_norm_bf16bwd)")
     args = ap.parse_args()
 
     from geomapnet_tpu.losses import MapNetCriterion
@@ -53,7 +56,9 @@ def main():
 
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
     model = MapNet(posenet=PoseNet(
-        feature_extractor=resnet34(dtype=dtype), feat_dim=2048, droprate=0.5,
+        feature_extractor=resnet34(dtype=dtype,
+                                   bn_bf16_bwd=args.bn_bf16_bwd),
+        feat_dim=2048, droprate=0.5,
         dtype=dtype,
     ))
     criterion = MapNetCriterion(saq=-3.0, srq=-3.0, learn_beta=True,
@@ -81,6 +86,7 @@ def main():
             "metric": "train_images_per_sec_per_chip",
             "batch_tuples": bs,
             "remat": args.remat,
+            "bn_bf16_bwd": args.bn_bf16_bwd,
             "dtype": str(dtype.__name__),
             "value": round(bs * T * args.iters / dt, 1),
             "step_ms": round(1000 * dt / args.iters, 2),

@@ -294,3 +294,54 @@ def test_build_model_trunk_choice():
 
     with pytest.raises(ValueError, match="unknown trunk"):
         build_model("posenet", cfg, trunk="vgg16")
+
+
+class TestBnBf16Backward:
+    """bn_bf16_bwd (VERDICT r4 item 6): forward must be BIT-identical to the
+    default BN (same stats, same association), running statistics must
+    update identically, and grads may differ only at bf16 rounding scale."""
+
+    def _setup(self, bn_bf16_bwd):
+        from geomapnet_tpu.models import resnet18
+
+        model = resnet18(dtype=jnp.bfloat16, bn_bf16_bwd=bn_bf16_bwd)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 48, 3),
+                              jnp.bfloat16)
+        variables = model.init(jax.random.PRNGKey(1), x, train=True)
+        return model, variables, x
+
+    def test_forward_and_stats_bit_identical(self):
+        model_a, var_a, x = self._setup(False)
+        model_b, var_b, _ = self._setup(True)
+        ya, sa = model_a.apply(var_a, x, train=True,
+                               mutable=["batch_stats"])
+        yb, sb = model_b.apply(var_b, x, train=True,
+                               mutable=["batch_stats"])
+        np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+        for a, b in zip(jax.tree.leaves(sa), jax.tree.leaves(sb)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_grads_at_bf16_rounding_scale(self):
+        model_a, var_a, x = self._setup(False)
+        model_b, _, _ = self._setup(True)
+
+        def loss(params, model):
+            feats, _ = model.apply(
+                {"params": params, "batch_stats": var_a["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return jnp.sum(jnp.square(feats.astype(jnp.float32)))
+
+        ga = jax.jit(jax.grad(loss), static_argnums=1)(var_a["params"],
+                                                       model_a)
+        gb = jax.jit(jax.grad(loss), static_argnums=1)(var_a["params"],
+                                                       model_b)
+        # bf16 rounding compounds through 18 chained BN backwards: a few %
+        # worst-case elementwise, well under 1% on average. The training-level
+        # accept/reject gate is the 200-step parity envelope (PERF.md r5),
+        # not this unit bound.
+        for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+            a64 = np.asarray(a, np.float64)
+            b64 = np.asarray(b, np.float64)
+            denom = np.abs(a64).max() + 1e-12
+            assert np.abs(a64 - b64).max() / denom < 8e-2
+            assert np.abs(a64 - b64).mean() / denom < 2e-2

@@ -88,6 +88,7 @@ WEIGHT_DECAY = 5e-4
 N_BATCHES = 8          # fixed batches cycled like epochs over a tiny dataset
 BATCH, T, H, W = 2, 3, 64, 96
 VARIANT = "mapnet"     # or "mapnetpp" (set from --variant in main)
+BN_BF16_BWD = False    # --bn_bf16_bwd: ours runs the bf16 BN backward arm
 
 
 def make_data():
@@ -208,7 +209,8 @@ def run_ours(n_steps):
     )
 
     model = MapNet(posenet=PoseNet(
-        feature_extractor=resnet34(dtype=jnp.float32),
+        feature_extractor=resnet34(dtype=jnp.float32,
+                                   bn_bf16_bwd=BN_BF16_BWD),
         feat_dim=FEAT_DIM, droprate=0.0,
         filter_nans=VARIANT.startswith("mapnetpp")))
     variables = jax.jit(model.init)(
@@ -309,11 +311,19 @@ def main():
                     default="mapnet")
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--json", type=str, default=None)
+    ap.add_argument("--bn_bf16_bwd", action="store_true",
+                    help="run OUR side with the bfloat16 BN backward "
+                    "(models/resnet.py bn_train_norm_bf16bwd) — the "
+                    "round-5 throughput experiment's parity gate; writes "
+                    "to *_BN_BF16BWD output files")
     args = ap.parse_args()
-    global VARIANT
+    global VARIANT, BN_BF16_BWD
     VARIANT = args.variant
+    BN_BF16_BWD = args.bn_bf16_bwd
     suffix = {"mapnet": "", "mapnetpp": "_MAPNETPP",
               "mapnetpp_gps": "_MAPNETPP_GPS"}[VARIANT]
+    if BN_BF16_BWD:
+        suffix += "_BN_BF16BWD"
     if args.out is None:
         args.out = f"docs/TRAIN_PARITY{suffix}.md"
     if args.json is None:

@@ -422,20 +422,22 @@ def _evaluate(
                     _SCAN_CACHE.pop(next(iter(_SCAN_CACHE)))
                 _SCAN_CACHE[scan_key] = (scan_jit, model, preprocess)
         outs = scan_jit(scan_state, frame_buf, jnp.asarray(idx_all), rngs_all)
-        outs_np = np.asarray(outs, np.float64)  # (n_batches, B, T, 6)
+        # the dispatch above is ASYNC — stage the host-side targets while
+        # the epoch scan runs on device (one vectorized stack, not a
+        # per-batch python loop: the loop measured ~30 us/img, the whole
+        # gap between the e2e rate and the device-program rate, PERF.md r5)
+        targ_all = np.asarray(np.stack(targets_np), np.float64)  # (S, T', 6)
+        if pad_rows:
+            targ_all = np.concatenate(
+                [targ_all, np.repeat(targ_all[-1:], pad_rows, axis=0)])
+        targ_all = targ_all.reshape(
+            (n_batches, batch_size) + targ_all.shape[1:])
+        outs_np = np.asarray(outs, np.float64)  # sync: (n_batches, B, T, 6)
 
         for batch_idx in range(n_batches):
-            s = batch_idx * batch_size
-            valid = min(batch_size, S - s)
+            valid = min(batch_size, S - batch_idx * batch_size)
             dev_outputs.append(outs_np[batch_idx])
-            targ = np.stack(
-                [np.asarray(t, np.float64)
-                 for t in targets_np[s:s + batch_size]])
-            # pad targets to the batch shape (rows beyond `valid` skipped)
-            if valid < batch_size:
-                targ = np.concatenate(
-                    [targ, np.repeat(targ[-1:], batch_size - valid, axis=0)])
-            host_targets.append(targ)
+            host_targets.append(targ_all[batch_idx])
             valids.append(valid)
             n_images += valid * steps
         loop_done = True

@@ -292,3 +292,39 @@ class TestDeviceCachedEval:
         np.testing.assert_allclose(dp["pred_poses"], one["pred_poses"],
                                    rtol=0, atol=1e-5)
         np.testing.assert_array_equal(dp["targ_poses"], one["targ_poses"])
+
+
+class TestAutoShardSelection:
+    """upload_dataset_frames(shard_frames='auto'): replicate while the
+    stack fits one max_bytes budget (cheaper local gathers), shard when it
+    only fits split across devices."""
+
+    def test_auto_prefers_replicated_when_fits(self):
+        from geomapnet_tpu.data.device_cache import upload_dataset_frames
+        from geomapnet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        ds = SyntheticScene(n_frames=mesh.devices.size, height=8, width=12)
+        buf = upload_dataset_frames(ds, mesh=mesh, shard_frames="auto")
+        assert buf.sharding.is_fully_replicated
+
+    def test_auto_shards_past_the_budget(self):
+        from geomapnet_tpu.data.device_cache import upload_dataset_frames
+        from geomapnet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        d = mesh.devices.size
+        ds = SyntheticScene(n_frames=2 * d, height=8, width=12)
+        budget = ds.get_image(0).nbytes * (d + 1)  # < 2d frames replicated
+        buf = upload_dataset_frames(ds, mesh=mesh, shard_frames="auto",
+                                    max_bytes=budget)
+        assert not buf.sharding.is_fully_replicated
+        want = np.stack([ds.get_image(i) for i in range(len(ds))])
+        np.testing.assert_array_equal(np.asarray(buf)[:len(ds)], want)
+
+    def test_auto_needs_mesh(self):
+        from geomapnet_tpu.data.device_cache import upload_dataset_frames
+
+        ds = SyntheticScene(n_frames=4, height=8, width=12)
+        with pytest.raises(ValueError, match="mesh"):
+            upload_dataset_frames(ds, shard_frames="auto")

@@ -296,7 +296,10 @@ def _evaluate(
         # quantize_input_int8; tests/test_quant.py pins exact equality).
         # Rows flatten to (N, H*W*C): a contiguous row gather measured +7%
         # over the 4-D frame gather (PERF.md r5 product-dataflow ladder).
-        prequant = bool(fuse_requant) and not cache_sharded
+        # Composes with the SHARDED cache: the transform is per-frame
+        # elementwise, so it runs shard-local (no collective) and the
+        # psum_scatter gather stays exact on int8 rows (one owner per row).
+        prequant = bool(fuse_requant)
         if prequant:
             from ..models.quant import quantize_input_int8
 
@@ -309,10 +312,21 @@ def _evaluate(
                     frames_src, len(frames_src), float("inf")).shape)
             else:
                 frame_shape = tuple(frame_buf.shape[1:])
-                qput = jax.jit(lambda b: quantize_input_int8(
-                    qtree,
-                    preprocess(b) if preprocess is not None else b,
-                ).reshape(b.shape[0], -1))
+
+                def _qput(b):
+                    return quantize_input_int8(
+                        qtree,
+                        preprocess(b) if preprocess is not None else b,
+                    ).reshape(b.shape[0], -1)
+
+                if cache_sharded:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    dat = NamedSharding(mesh, PartitionSpec("data"))
+                    qput = jax.jit(_qput, in_shardings=(dat,),
+                                   out_shardings=dat)
+                else:
+                    qput = jax.jit(_qput)
                 frame_buf = qput(frame_buf)
         upload_secs = time.time() - t_up
 

@@ -328,3 +328,22 @@ class TestAutoShardSelection:
         ds = SyntheticScene(n_frames=4, height=8, width=12)
         with pytest.raises(ValueError, match="mesh"):
             upload_dataset_frames(ds, shard_frames="auto")
+
+
+@pytest.mark.slow
+def test_sharded_prequant_cache_matches_replicated(mapnet_state):
+    """--device_cache shard composes with --fuse_requant: the shard-local
+    prequantize (elementwise, no collective) + int8-row psum_scatter
+    gather must reproduce the replicated prequantized cache exactly."""
+    model, state = mapnet_state
+    val = MF(SyntheticScene(n_frames=24, height=32, width=48,
+                            train=False), steps=3, skip=2)
+    kw = dict(batch_size=8, progress=False, quantize=True,
+              calib_batches=1, quantize_heads=True, fuse_requant=True)
+    rep = evaluate(model, state, val, device_cache=True, **kw)
+    sh = evaluate(model, state, val, device_cache="shard", **kw)
+    buf = sh["device_frames"]
+    assert buf.dtype == jnp.int8 and buf.ndim == 2  # prequantized rows
+    assert not buf.sharding.is_fully_replicated    # still frame-sharded
+    np.testing.assert_allclose(sh["pred_poses"], rep["pred_poses"],
+                               rtol=0, atol=1e-6)

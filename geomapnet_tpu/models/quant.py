@@ -54,6 +54,8 @@ __all__ = [
     "mapnet_apply_int8",
     "posenet_apply_folded",
     "mapnet_apply_folded",
+    "convert_stem_s2d",
+    "space_to_depth_input",
 ]
 
 _BN_EPS = 1e-5  # matches models/resnet.py
@@ -302,6 +304,10 @@ def calibrate_activation_scales(qtree: Mapping, batches,
     both faster and deterministic batch-to-batch.
     """
 
+    if _stem_is_s2d(qtree):
+        raise ValueError("calibrate before convert_stem_s2d: the observer "
+                         "walk runs the canonical 7x7-stem trunk")
+
     @jax.jit
     def _absmaxes(x):
         if x.ndim == 5:
@@ -401,8 +407,14 @@ def _trunk_forward_fused(qtree: Mapping, x: jnp.ndarray,
     # stem's STATIC scale (quantize_input_int8 — e.g. a prequantized device
     # cache, where each frame's int8 stem input is a per-frame constant)
     qx = x if x.dtype == jnp.int8 else _q8(x.astype(jnp.float32), s_in)
-    y = _deq(_conv_acc(qx, c1, (2, 2),
-                       [(3, 3), (3, 3)]), c1, s_in)
+    if c1["qkernel"].shape[0] == 4:  # S2D stem (convert_stem_s2d)
+        if qx.shape[-1] * 4 == c1["qkernel"].shape[2]:
+            # input not yet rearranged (a prequantized S2D cache ships
+            # 4C-channel frames and skips this)
+            qx = space_to_depth_input(qx)
+        y = _deq(_conv_acc(qx, c1, (1, 1), [(2, 1), (2, 1)]), c1, s_in)
+    else:
+        y = _deq(_conv_acc(qx, c1, (2, 2), [(3, 3), (3, 3)]), c1, s_in)
     y = jax.nn.relu(y)
     qy = _q8(y, _site_scale(blocks[0]["conv1"]))
     qy = lax.reduce_window(
@@ -477,6 +489,83 @@ def quantize_input_int8(qtree: Mapping, images: jnp.ndarray) -> jnp.ndarray:
     return _q8(images.astype(jnp.float32), _site_scale(c1))
 
 
+def space_to_depth_input(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 space-to-depth: (N, H, W, C) -> (N, ceil(H/2), ceil(W/2), 4C).
+
+    Odd spatial dims are zero-padded high first (zero is the conv padding
+    value in both the float and the symmetric-int8 domain, so the pad is
+    exactly the stem conv's own implicit padding). Channel order is
+    ``(dh*2 + dw)*C + c`` — the layout :func:`_stem_kernel_s2d` targets.
+    """
+    n, h, w, c = x.shape
+    if h % 2 or w % 2:
+        x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        h, w = h + h % 2, w + w % 2
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+
+def _stem_kernel_s2d(k7: np.ndarray) -> np.ndarray:
+    """Rearrange a (7,7,C,O) stride-2 stem kernel for the S2D dataflow.
+
+    The stride-2 7x7 conv ``y[i,j] = sum_{a,b} x[2i+a-3, 2j+b-3] k[a,b]``
+    regroups exactly over 2x2 input blocks: with ``x2[p,q,(dh,dw)] =
+    x[2p+dh, 2q+dw]`` each tap ``a`` lands in block ``p = i + m - 2`` with
+    ``a = 2m - 1 + dh`` (dh fixed to ``(a+1) % 2``), so the whole stem is a
+    STRIDE-1 4x4 conv over x2 with padding (2, 1) — same multiplies, same
+    int32 accumulator, just a different loop nest. (m=0, dh=0) falls
+    outside the 7-tap support and stays zero.
+    """
+    kh, kw, c, o = k7.shape
+    if (kh, kw) != (7, 7):
+        raise ValueError(f"S2D stem rearrange expects a 7x7 kernel, "
+                         f"got {(kh, kw)}")
+    k4 = np.zeros((4, 4, 4 * c, o), k7.dtype)
+    for m in range(4):
+        for dh in range(2):
+            a = 2 * m - 1 + dh
+            if not 0 <= a < 7:
+                continue
+            for n_ in range(4):
+                for dw in range(2):
+                    b = 2 * n_ - 1 + dw
+                    if not 0 <= b < 7:
+                        continue
+                    blk = (dh * 2 + dw) * c
+                    k4[m, n_, blk:blk + c, :] = k7[a, b]
+    return k4
+
+
+def convert_stem_s2d(qtree: Mapping) -> dict:
+    """Rewrite an int8 tree's stem site for the space-to-depth dataflow.
+
+    Returns a new tree (leaves shared except conv1's qkernel) whose stem is
+    the stride-1 4x4 conv over 2x2-space-to-depth input. On the int8 path
+    this is BIT-exact — integer accumulation is associative — while mapping
+    far better onto the MXU: the stride-2 C=3 stem is the trunk's least
+    efficient conv (PERF.md round 3 profile), and a prequantized device
+    cache can store the S2D rows so no rearrange appears in the serving
+    program at all. The fused forward dispatches on the kernel's static
+    shape; non-fused/float paths reject S2D trees.
+    """
+    c1 = qtree["trunk"]["conv1"]
+    if "qkernel" not in c1:
+        raise ValueError("convert_stem_s2d needs an int8 tree (--quantize)")
+    if c1["qkernel"].shape[:2] == (4, 4):
+        return dict(qtree)  # already converted
+    new_c1 = dict(c1)
+    new_c1["qkernel"] = _stem_kernel_s2d(np.asarray(c1["qkernel"]))
+    out = dict(qtree)
+    out["trunk"] = dict(qtree["trunk"])
+    out["trunk"]["conv1"] = new_c1
+    return out
+
+
+def _stem_is_s2d(qtree: Mapping) -> bool:
+    c1 = qtree["trunk"]["conv1"]
+    return "qkernel" in c1 and c1["qkernel"].shape[:2] == (4, 4)
+
+
 def posenet_apply_int8(qtree: Mapping, images: jnp.ndarray,
                        dtype=jnp.bfloat16, fused: bool = False
                        ) -> jnp.ndarray:
@@ -498,6 +587,9 @@ def posenet_apply_int8(qtree: Mapping, images: jnp.ndarray,
         if images.dtype == jnp.int8:
             raise ValueError("prequantized int8 input "
                              "(quantize_input_int8) needs fused=True")
+        if _stem_is_s2d(qtree):
+            raise ValueError("space-to-depth stem trees (convert_stem_s2d) "
+                             "run fused only; pass fused=True")
         feat = _trunk_forward(qtree, images.astype(dtype), dtype)
     return _apply_heads(qtree, feat, dtype)
 

@@ -13,6 +13,11 @@ device-side costs:
   B  scan, cache in its AUTO layout      (relayout paid ONCE at upload)
   C  B + contiguous index batches        (gather locality probe)
   D  no-gather control: fixed folded uint8 batch through the same scan
+  E  uint8 row cache                     (contiguous-DMA gather)
+  F  prequantized int8 row cache         (normalize+quantize at upload)
+  G  prequantized 4-D cache
+  H  space-to-depth prequant row cache   (stride-1 4x4 stem, bit-exact)
+  I  S2D trunk, rearrange in-graph       (isolates stem win vs layout win)
 
 Usage (real chip): python scripts/bench_product_scan.py [--k 16] [--reps 3]
 """
@@ -202,6 +207,44 @@ def main():
         return c
 
     timed(jax.jit(epoch_preq4d), qbuf, idx_shuf, "G_prequant_4d_cache")
+
+    # H: SPACE-TO-DEPTH prequantized row cache — the stride-2 7x7 stem runs
+    # as a stride-1 4x4 conv over 2x2-blocked 12-channel input (bit-exact:
+    # same int32 accumulator, models/quant.py convert_stem_s2d); the cache
+    # stores the rearranged frames so no transpose appears in the program
+    from geomapnet_tpu.models.quant import (convert_stem_s2d,
+                                            space_to_depth_input)
+
+    qtree_s2d = jax.device_put(convert_stem_s2d(qtree))
+    h2, w2 = (H + H % 2) // 2, (W + W % 2) // 2
+    sbuf = jax.jit(lambda b: space_to_depth_input(
+        quantize_input_int8(qtree, preprocess(b))))(buf)
+    sbuf2d = sbuf.reshape(N_CACHE_FRAMES, h2 * w2 * 12)
+
+    def epoch_s2d(buf_, idx_batches, carry):
+        def body(c, ib):
+            x = buf_[ib].reshape(nb, h2, w2, 12)
+            out = posenet_apply_int8(qtree_s2d, x, fused=True)
+            return c + jnp.sum(out.astype(jnp.float32)) * 1e-12, ()
+
+        c, _ = jax.lax.scan(body, carry, idx_batches)
+        return c
+
+    timed(jax.jit(epoch_s2d), sbuf2d, idx_shuf, "H_s2d_prequant_row_cache")
+
+    # I: S2D trunk fed from F's flat cache (rearrange IN-graph) — isolates
+    # the stem-conv win from the stored-layout win
+    def epoch_s2d_ingraph(buf_, idx_batches, carry):
+        def body(c, ib):
+            x = buf_[ib].reshape(nb, H, W, 3)
+            out = posenet_apply_int8(qtree_s2d, x, fused=True)
+            return c + jnp.sum(out.astype(jnp.float32)) * 1e-12, ()
+
+        c, _ = jax.lax.scan(body, carry, idx_batches)
+        return c
+
+    timed(jax.jit(epoch_s2d_ingraph), qbuf2d, idx_shuf,
+          "I_s2d_ingraph_rearrange")
 
 
 if __name__ == "__main__":

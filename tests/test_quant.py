@@ -485,6 +485,82 @@ class TestPrequantizedInput:
             posenet_apply_int8(qc, qx, fused=False)
 
 
+class TestStemS2D:
+    """convert_stem_s2d: the stride-2 7x7 stem as a stride-1 4x4 conv over
+    2x2 space-to-depth input — BIT-exact on the int8 path (the int32
+    accumulator sums the same products; integer addition is associative)."""
+
+    def _calibrated(self, float_model):
+        _, variables = float_model
+        q = quantize_posenet_variables(variables, stage_sizes=STAGES,
+                                       quantize_heads=True)
+        calib = [jax.random.normal(jax.random.PRNGKey(7), (4, 64, 96, 3))]
+        return calibrate_activation_scales(q, calib, dtype=jnp.float32)
+
+    def test_bit_exact_even_dims(self, float_model):
+        from geomapnet_tpu.models.quant import convert_stem_s2d
+
+        qc = self._calibrated(float_model)
+        qs = convert_stem_s2d(qc)
+        assert qs["trunk"]["conv1"]["qkernel"].shape == (4, 4, 12, 64)
+        x = jax.random.normal(jax.random.PRNGKey(21), (4, 64, 96, 3))
+        ref = np.asarray(jax.jit(lambda xx: posenet_apply_int8(
+            qc, xx, dtype=jnp.float32, fused=True))(x))
+        got = np.asarray(jax.jit(lambda xx: posenet_apply_int8(
+            qs, xx, dtype=jnp.float32, fused=True))(x))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_bit_exact_odd_width(self, float_model):
+        # the flagship input is 256x341 (odd W): S2D pads W high with zero,
+        # which is exactly the 7x7 conv's own implicit padding column
+        from geomapnet_tpu.models.quant import convert_stem_s2d
+
+        qc = self._calibrated(float_model)
+        qs = convert_stem_s2d(qc)
+        x = jax.random.normal(jax.random.PRNGKey(22), (2, 64, 95, 3))
+        ref = np.asarray(jax.jit(lambda xx: posenet_apply_int8(
+            qc, xx, dtype=jnp.float32, fused=True))(x))
+        got = np.asarray(jax.jit(lambda xx: posenet_apply_int8(
+            qs, xx, dtype=jnp.float32, fused=True))(x))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_prequantized_s2d_rows_bit_exact(self, float_model):
+        # the serving cache shape: quantize per frame, space-to-depth at
+        # upload, feed the 12-channel int8 frames straight to the trunk
+        from geomapnet_tpu.models.quant import (convert_stem_s2d,
+                                                quantize_input_int8,
+                                                space_to_depth_input)
+
+        qc = self._calibrated(float_model)
+        qs = convert_stem_s2d(qc)
+        x = jax.random.normal(jax.random.PRNGKey(23), (4, 64, 96, 3))
+        ref = np.asarray(jax.jit(lambda xx: posenet_apply_int8(
+            qc, xx, dtype=jnp.float32, fused=True))(x))
+        qx = space_to_depth_input(quantize_input_int8(qc, x))
+        assert qx.dtype == jnp.int8 and qx.shape == (4, 32, 48, 12)
+        got = np.asarray(jax.jit(lambda xx: posenet_apply_int8(
+            qs, xx, dtype=jnp.float32, fused=True))(qx))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_error_contracts(self, float_model):
+        from geomapnet_tpu.models.quant import convert_stem_s2d
+
+        _, variables = float_model
+        folded = fold_posenet_variables(variables, stage_sizes=STAGES)
+        with pytest.raises(ValueError, match="int8"):
+            convert_stem_s2d(folded)
+        qc = self._calibrated(float_model)
+        qs = convert_stem_s2d(qc)
+        x = jnp.zeros((1, 64, 96, 3))
+        with pytest.raises(ValueError, match="fused"):
+            posenet_apply_int8(qs, x, fused=False)
+        with pytest.raises(ValueError, match="calibrate before"):
+            calibrate_activation_scales(qs, [x], dtype=jnp.float32)
+        # idempotent: converting twice is a no-op
+        qs2 = convert_stem_s2d(qs)
+        assert qs2["trunk"]["conv1"]["qkernel"] is qs["trunk"]["conv1"]["qkernel"]
+
+
 @pytest.mark.slow
 def test_evaluate_fused_device_cache_prequant_matches_loader():
     """--fuse_requant + --device_cache: the cache stores the PREQUANTIZED

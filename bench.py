@@ -7,9 +7,10 @@ style measured on this same chip* (batch-1, non-overlapped, float32 — the
 reference's dtype); the headline metric is the optimized PRODUCT serving
 path — the eval CLI's ``--device_cache --quantize int8 --calibrate N
 --quantize_heads --fuse_requant`` dataflow as one XLA program per launch:
-uint8 HBM frame cache -> T-folded gather -> fused normalize -> int8 PTQ
-trunk on the MXU (models/quant.py; accuracy bounds pinned in
-tests/test_quant.py, bf16 comparison in scripts/bench_quant.py).
+prequantized space-to-depth int8 HBM row cache -> scanned row gathers ->
+fused-requant int8 trunk with the stride-1 4x4 S2D stem on the MXU
+(models/quant.py; accuracy bounds pinned in tests/test_quant.py, bf16
+comparison in scripts/bench_quant.py).
 ``vs_baseline`` is the speedup of the optimized path over the
 reference-style path.
 
@@ -124,19 +125,47 @@ def build_preprocess(dtype=jnp.bfloat16):
                                    dtype=dtype)
 
 
-def make_product_epoch(qtree, batch_tuples=BATCH_TUPLES):
+# 2x2 space-to-depth frame geometry (odd W pads high by one zero column —
+# exactly the stem conv's own implicit padding)
+H2, W2 = (H + H % 2) // 2, (W + W % 2) // 2
+
+
+def make_product_cache(qtree, preprocess, frames_uint8):
+    """Upload-time transform for the product cache (one device pass):
+    normalize -> stem-scale int8 quantize -> 2x2 space-to-depth, stored as
+    flat int8 rows. Returns ``(qtree_s2d, rows)`` — the S2D-converted tree
+    the epoch program consumes (its stem is a stride-1 4x4 conv over the
+    stored 12-channel layout; bit-exact, models/quant.py convert_stem_s2d)
+    and the ``(N, H2*W2*12)`` row cache (same bytes as the raw frames,
+    modulo the odd-W pad column)."""
+    from geomapnet_tpu.models.quant import (
+        convert_stem_s2d,
+        quantize_input_int8,
+        space_to_depth_input,
+    )
+
+    qtree_s2d = jax.device_put(convert_stem_s2d(qtree))
+    rows = jax.jit(lambda b: space_to_depth_input(quantize_input_int8(
+        qtree, preprocess(b))).reshape(b.shape[0], -1))(frames_uint8)
+    return qtree_s2d, rows
+
+
+def make_product_epoch(qtree_s2d, batch_tuples=BATCH_TUPLES):
     """The product serving epoch as ONE XLA program (cli/eval.py's scanned
     device-cache path at its best configuration): a ``lax.scan`` over index
     batches, each iteration a contiguous row gather from the PREQUANTIZED
-    int8 cache -> reshape -> fused-requant int8 trunk.
+    space-to-depth int8 cache -> reshape -> fused-requant int8 trunk with
+    the stride-1 4x4 S2D stem.
 
-    The cache stores ``quantize_input_int8(preprocess(frames))`` as flat
-    ``(N, H*W*3)`` int8 rows: with static scales the stem's int8 input is a
-    per-frame constant, so normalize+quantize run once at upload and the
-    per-batch work is gather + conv (bit-identical outputs,
-    tests/test_quant.py). Row storage feeds the gather full cache lines —
-    measured +7% over the 4-D frame gather; the full ladder (incl. the
-    retired Layout.AUTO variants) is scripts/bench_product_scan.py.
+    The cache stores ``space_to_depth_input(quantize_input_int8(
+    preprocess(frames)))`` as flat int8 rows: with static scales the stem's
+    int8 input is a per-frame constant, so normalize+quantize run once at
+    upload and the per-batch work is gather + conv (bit-identical outputs,
+    tests/test_quant.py). Row storage feeds the gather full cache lines
+    (+7% over the 4-D frame gather) and the stored S2D layout makes the
+    stem both MXU-denser and relayout-free (+4.5%, ladder H vs F); the
+    full ladder (incl. the retired Layout.AUTO variants and the losing
+    in-graph-rearrange variant I) is scripts/bench_product_scan.py.
     """
     from geomapnet_tpu.models.quant import posenet_apply_int8
 
@@ -144,8 +173,8 @@ def make_product_epoch(qtree, batch_tuples=BATCH_TUPLES):
 
     def epoch(qbuf, idx_batches, carry):
         def body(c, ib):
-            x = qbuf[ib].reshape(nb, H, W, 3)
-            out = posenet_apply_int8(qtree, x, fused=True)
+            x = qbuf[ib].reshape(nb, H2, W2, 12)
+            out = posenet_apply_int8(qtree_s2d, x, fused=True)
             return c + jnp.sum(out.astype(jnp.float32)) * 1e-12, ()
 
         c, _ = jax.lax.scan(body, carry, idx_batches)
@@ -216,17 +245,16 @@ def main():
     # entry-layout machinery (Layout.AUTO + post-hoc relayout, which fell
     # back in the r4 driver run) is retired as structurally unnecessary,
     # and the measured number is the product's, not a harness-fed
-    # forward's (VERDICT r4 items 2/3). Ladder: scripts/bench_product_scan.py.
-    mode = "int8_fused_preqcache_scan%d_batch%d" % (K_SCAN, BATCH_TUPLES)
-
-    from geomapnet_tpu.models.quant import quantize_input_int8
+    # forward's (VERDICT r4 items 2/3). The cache stores the frames 2x2
+    # space-to-depth rearranged and the stem runs as a stride-1 4x4 conv
+    # (bit-exact; +4.5% on hardware — the stored layout kills the stem's
+    # input relayout AND densifies its MXU mapping).
+    # Ladder: scripts/bench_product_scan.py.
+    mode = "int8_fused_s2d_preqcache_scan%d_batch%d" % (K_SCAN, BATCH_TUPLES)
 
     buf = jax.random.randint(
         jax.random.PRNGKey(11), (N_CACHE_FRAMES, H, W, 3), 0, 256, jnp.uint8)
-    # upload-time transform (one device pass): normalize + stem quantize,
-    # stored as flat int8 rows — same bytes as the raw uint8 frames
-    qbuf = jax.jit(lambda b: quantize_input_int8(
-        qtree, preprocess(b)).reshape(N_CACHE_FRAMES, -1))(buf)
+    qtree_s2d, qbuf = make_product_cache(qtree, preprocess, buf)
 
     import numpy as _np
 
@@ -236,7 +264,7 @@ def main():
         [_rng.permutation(N_CACHE_FRAMES)[:nb] for _ in range(K_SCAN)]
     ).astype(_np.int32))
 
-    epoch = make_product_epoch(qtree)
+    epoch = make_product_epoch(qtree_s2d)
     optimized = time_epochs(epoch, qbuf, idx_batches, BS1_REPS,
                             K_SCAN * nb)
 

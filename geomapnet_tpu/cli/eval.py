@@ -294,30 +294,53 @@ def _evaluate(
         # so the cache stores it directly — preprocess + quantize run ONCE
         # at upload instead of per batch, bit-identically (models/quant.py
         # quantize_input_int8; tests/test_quant.py pins exact equality).
-        # Rows flatten to (N, H*W*C): a contiguous row gather measured +7%
-        # over the 4-D frame gather (PERF.md r5 product-dataflow ladder).
+        # Rows flatten to (N, H/2*W/2*4C) space-to-depth frames: a
+        # contiguous row gather measured +7% over the 4-D frame gather
+        # (PERF.md r5 product-dataflow ladder).
         # Composes with the SHARDED cache: the transform is per-frame
         # elementwise, so it runs shard-local (no collective) and the
         # psum_scatter gather stays exact on int8 rows (one owner per row).
         prequant = bool(fuse_requant)
         if prequant:
-            from ..models.quant import quantize_input_int8
+            from ..models.quant import (
+                convert_stem_s2d,
+                quantize_input_int8,
+                space_to_depth_input,
+            )
+
+            # SPACE-TO-DEPTH stem on the cached path: the cache stores the
+            # frames 2x2-space-to-depth rearranged and the stem runs as a
+            # stride-1 4x4 conv over 12 channels — BIT-exact (same int32
+            # accumulator, tests/test_quant.py::TestStemS2D) and measured
+            # +4.5% on hardware (PERF.md r5 ladder H vs F: the stride-2 C=3
+            # conv is the trunk's least MXU-efficient site and its input
+            # relayout disappears when the cache stores the target layout).
+            # The loader path keeps the 7x7 stem: an IN-graph rearrange
+            # measured -3% (ladder I), so S2D only pays when the producer
+            # ships the layout.
+            scan_state = jax.device_put(
+                convert_stem_s2d(qtree),
+                replicated(mesh) if mesh is not None else None)
+
+            def _s2d_shape(shape):
+                h_, w_, c_ = shape
+                return ((h_ + h_ % 2) // 2, (w_ + w_ % 2) // 2, 4 * c_)
 
             if frame_buf.dtype == jnp.int8 and frame_buf.ndim == 2:
                 # reused buffer is already the prequantized row cache; the
                 # frame geometry comes from one probe decode
                 from ..data.device_cache import _probe_frames
 
-                frame_shape = tuple(_probe_frames(
-                    frames_src, len(frames_src), float("inf")).shape)
+                frame_shape = _s2d_shape(tuple(_probe_frames(
+                    frames_src, len(frames_src), float("inf")).shape))
             else:
-                frame_shape = tuple(frame_buf.shape[1:])
+                frame_shape = _s2d_shape(tuple(frame_buf.shape[1:]))
 
                 def _qput(b):
-                    return quantize_input_int8(
+                    return space_to_depth_input(quantize_input_int8(
                         qtree,
                         preprocess(b) if preprocess is not None else b,
-                    ).reshape(b.shape[0], -1)
+                    )).reshape(b.shape[0], -1)
 
                 if cache_sharded:
                     from jax.sharding import NamedSharding, PartitionSpec

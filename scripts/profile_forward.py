@@ -141,10 +141,10 @@ def main():
         import numpy as np
 
         from bench import (
-            N_CACHE_FRAMES, build_preprocess, make_product_epoch)
+            N_CACHE_FRAMES, build_preprocess, make_product_cache,
+            make_product_epoch)
         from geomapnet_tpu.models.quant import (
-            calibrate_activation_scales, quantize_input_int8,
-            quantize_posenet_variables)
+            calibrate_activation_scales, quantize_posenet_variables)
 
         preprocess = build_preprocess()
         qtree = quantize_posenet_variables(
@@ -155,14 +155,13 @@ def main():
         buf = jax.random.randint(
             jax.random.PRNGKey(11), (N_CACHE_FRAMES, H, W, 3), 0, 256,
             jnp.uint8)
-        qbuf = jax.jit(lambda b: quantize_input_int8(
-            qtree, preprocess(b)).reshape(N_CACHE_FRAMES, -1))(buf)
+        qtree_s2d, qbuf = make_product_cache(qtree, preprocess, buf)
         nb = args.batch * T
         rng = np.random.RandomState(0)
         idx = jnp.asarray(np.stack(
             [rng.permutation(N_CACHE_FRAMES)[:nb]
              for _ in range(args.iters)]).astype(np.int32))
-        j = jax.jit(make_product_epoch(qtree, batch_tuples=args.batch))
+        j = jax.jit(make_product_epoch(qtree_s2d, batch_tuples=args.batch))
         carry = j(qbuf, idx, jnp.zeros(()))
         float(carry)
         trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="fwd_trace_")

@@ -68,6 +68,13 @@ def evaluate(model, state, dataset, **kwargs) -> dict:
     {"pred_poses", "targ_poses", "t_err", "q_err", "median_t", "median_q",
     "mean_t", "mean_q", "images_per_sec"}.
 
+    ``dedup_frames`` (device-cache evals): ``None`` (default) computes each
+    UNIQUE cached frame's forward once and gathers per-tuple poses from the
+    pose table whenever that saves work — bit-identical to the tuple scan
+    (the dedup'd indices ride the same scanned program) at up to T x less
+    device compute; ``False`` forces the tuple scan; ``True`` forces dedup
+    (errors when the model isn't per-frame at eval).
+
     With a variable-skip MF dataset the loader's get_indices draws and the
     middle-frame scatter's re-draws would differ under the shared RNG, so
     per-index deterministic sampling is forced for the duration of the call
@@ -108,6 +115,7 @@ def _evaluate(
     fuse_requant: bool = False,
     use_mesh: bool = True,
     device_cache=False,
+    dedup_frames: bool | None = None,
 ) -> dict:
     is_tuple = isinstance(dataset, MF)
     L = len(dataset.dset) if is_tuple else len(dataset)
@@ -132,6 +140,10 @@ def _evaluate(
     # a previously returned buffer (result["device_frames"]) to skip the
     # upload on repeated calls (PGO sweeps, serving loops).
     use_device_cache = device_cache is not False and device_cache is not None
+    if dedup_frames and not use_device_cache:
+        raise ValueError(
+            "dedup_frames=True requires device_cache (the dedup epoch is a "
+            "scan over unique cached frame indices)")
 
     pose_m, pose_s = (
         pose_stats if pose_stats is not None else (np.zeros(3), np.ones(3))
@@ -390,6 +402,49 @@ def _evaluate(
             if stochastic else jnp.zeros((n_batches, 2), jnp.uint32)
         )
 
+        # FRAME-DEDUP epoch: tuples share frames ((steps-1)*skip apart), so
+        # the tuple scan recomputes each cached frame up to T times. The
+        # reference's eval pays the same T x redundancy, one tuple per
+        # launch (/root/reference/scripts/eval.py:138-166). At eval the
+        # model is per-frame whenever fold_T holds (VidLoc's recurrence and
+        # stochastic dropout keep fold_T None and are excluded), so the
+        # epoch instead computes each UNIQUE frame's pose once — a scan
+        # over deduplicated cache indices — and the (S, T) tuple structure
+        # is a host-side gather of the tiny (U, d) pose table. The dedup'd
+        # indices are arranged in the SAME (kf, B, T) grid the tuple scan
+        # consumes, so the scanned program is structurally IDENTICAL (only
+        # the trip count differs) and the per-frame values are BIT-exact —
+        # including the int8 fused path, where a structurally different
+        # program was measured to flip requant roundings that amplify
+        # through the trunk (tests/test_device_cache.py::TestFrameDedup
+        # pins exact equality on every path). Up to T x less device work;
+        # auto-enabled whenever it saves scanned batches; dedup_frames=False
+        # forces the tuple scan.
+        # dynamic-scale int8 (--quantize without --calibrate) quantizes each
+        # site at the BATCH's absmax, so a frame's pose depends on its
+        # batchmates — regrouping into the dedup grid would genuinely
+        # change results, not just reorder work. (Calibrated runs are safe:
+        # every site including the int8 head carries a static scale.)
+        dynamic_q = quantize and not calib_batches
+        dedup_ok = (is_tuple and fold_T is not None and not stochastic
+                    and not dynamic_q)
+        if dedup_frames and not dedup_ok:
+            raise ValueError(
+                "dedup_frames needs a per-frame (MapNet-style) tuple model: "
+                "no --eval_dropout (stochastic draws are per tuple slot) "
+                "and no dynamic-scale int8 (--quantize without --calibrate "
+                "quantizes at the batch absmax, coupling rows)")
+        nb_flat = batch_size * steps
+        uniq = inverse = fidx = None
+        if dedup_ok and dedup_frames is not False:
+            uniq, inverse = np.unique(idx_mat, return_inverse=True)
+            kf = (len(uniq) + nb_flat - 1) // nb_flat
+            if dedup_frames or kf < n_batches:
+                fidx = np.concatenate(
+                    [uniq, np.full(kf * nb_flat - len(uniq), uniq[-1])]
+                ).reshape(kf, batch_size, steps).astype(np.int32)
+        dedup = fidx is not None
+
         if progress:
             print(f"eval: scanning {n_batches} batches in one launch"
                   + (f" over {n_dev} devices" if mesh is not None else ""))
@@ -458,7 +513,12 @@ def _evaluate(
                 while len(_SCAN_CACHE) >= _SCAN_CACHE_MAX:
                     _SCAN_CACHE.pop(next(iter(_SCAN_CACHE)))
                 _SCAN_CACHE[scan_key] = (scan_jit, model, preprocess)
-        outs = scan_jit(scan_state, frame_buf, jnp.asarray(idx_all), rngs_all)
+        if dedup:
+            outs = scan_jit(scan_state, frame_buf, jnp.asarray(fidx),
+                            jnp.zeros((fidx.shape[0], 2), jnp.uint32))
+        else:
+            outs = scan_jit(scan_state, frame_buf, jnp.asarray(idx_all),
+                            rngs_all)
         # the dispatch above is ASYNC — stage the host-side targets while
         # the epoch scan runs on device (one vectorized stack, not a
         # per-batch python loop: the loop measured ~30 us/img, the whole
@@ -469,7 +529,20 @@ def _evaluate(
                 [targ_all, np.repeat(targ_all[-1:], pad_rows, axis=0)])
         targ_all = targ_all.reshape(
             (n_batches, batch_size) + targ_all.shape[1:])
-        outs_np = np.asarray(outs, np.float64)  # sync: (n_batches, B, T, 6)
+        if dedup:
+            # sync: (kf, B, T, d) per-slot poses of the dedup grid -> flat
+            # per-frame pose table -> per-tuple structure via the np.unique
+            # inverse map (host gather of a tiny array)
+            fp = np.asarray(outs, np.float64)
+            fp = fp.reshape(-1, fp.shape[-1])[:len(uniq)]
+            outs_np = fp[inverse].reshape(idx_mat.shape + (fp.shape[-1],))
+            if pad_rows:
+                outs_np = np.concatenate(
+                    [outs_np, np.repeat(outs_np[-1:], pad_rows, axis=0)])
+            outs_np = outs_np.reshape(
+                (n_batches, batch_size) + outs_np.shape[1:])
+        else:
+            outs_np = np.asarray(outs, np.float64)  # (n_batches, B, T, 6)
 
         for batch_idx in range(n_batches):
             valid = min(batch_size, S - batch_idx * batch_size)
@@ -600,6 +673,11 @@ def _evaluate(
         # loops) pass it as ``device_cache=`` and skip the upload
         result["device_frames"] = frame_buf
         result["upload_secs"] = upload_secs
+        # honesty split for the dedup epoch: images_per_sec counts the
+        # EVALUATED tuple-images (the task rate); frames_computed is how
+        # many forwards the device actually ran (pad rows included)
+        result["frames_computed"] = int(
+            fidx.size if dedup else idx_all.size)
     return result
 
 
@@ -691,6 +769,13 @@ def main(argv=None):
         "'--device_cache shard' keeps the stack frame-axis-sharded over "
         "the mesh instead of replicated — capacity scales with device "
         "count (scenes bigger than one HBM budget)",
+    )
+    parser.add_argument(
+        "--no_frame_dedup", action="store_true",
+        help="with --device_cache: keep the tuple epoch scan instead of the "
+        "default frame-dedup epoch (each unique frame's forward computed "
+        "once, per-tuple poses gathered from the pose table — "
+        "bit-identical at up to T x less device work)",
     )
     parser.add_argument(
         "--quantize", choices=["int8"], default=None,
@@ -828,6 +913,7 @@ def main(argv=None):
         quantize_heads=args.quantize_heads,
         fuse_requant=args.fuse_requant,
         device_cache=args.device_cache,
+        dedup_frames=False if args.no_frame_dedup else None,
     )
 
     print(

@@ -308,12 +308,19 @@ def calibrate_activation_scales(qtree: Mapping, batches,
         raise ValueError("calibrate before convert_stem_s2d: the observer "
                          "walk runs the canonical 7x7-stem trunk")
 
+    # int8 fc_feat head: calibrate its activation scale too — the last
+    # dynamic per-tensor reduction goes away and every row's output becomes
+    # independent of its batchmates (see _apply_heads)
+    head_q = "qkernel" in qtree["heads"]["fc_feat"]
+
     @jax.jit
     def _absmaxes(x):
         if x.ndim == 5:
             x = x.reshape(-1, *x.shape[2:])
         obs: list = []
-        _trunk_forward(qtree, x.astype(dtype), dtype, observe=obs)
+        feat = _trunk_forward(qtree, x.astype(dtype), dtype, observe=obs)
+        if head_q:
+            obs.append(jnp.max(jnp.abs(feat.astype(jnp.float32))))
         return jnp.stack(obs)
 
     mx = None
@@ -326,6 +333,8 @@ def calibrate_activation_scales(qtree: Mapping, batches,
 
     out = jax.tree.map(lambda v: v, qtree)  # rebuild containers, share leaves
     sites = list(_iter_sites(out))
+    if head_q:
+        sites.append(out["heads"]["fc_feat"])
     if len(sites) != len(mx):
         raise AssertionError(
             f"site walk ({len(sites)}) and observation ({len(mx)}) diverged")
@@ -451,10 +460,19 @@ def _apply_heads(qtree: Mapping, feat: jnp.ndarray, dtype) -> jnp.ndarray:
             p["bias"], dtype)
 
     fc_feat = heads["fc_feat"]
-    if "qkernel" in fc_feat:  # int8 fc_feat (dynamic per-tensor act scale —
-        # the (N, 512) input makes the reduction negligible)
-        x_scale = jnp.maximum(
-            jnp.max(jnp.abs(feat)).astype(jnp.float32), 1e-12) / 127.0
+    if "qkernel" in fc_feat:  # int8 fc_feat
+        if "x_scale" in fc_feat:
+            # static calibrated scale: pure elementwise quantize, and —
+            # critically — each row's output no longer depends on its
+            # batchmates (the dynamic per-TENSOR absmax below made a
+            # frame's pose a function of batch COMPOSITION, which broke
+            # bit-equality between differently-batched epochs, e.g. the
+            # frame-dedup eval scan vs the tuple scan)
+            x_scale = jnp.asarray(fc_feat["x_scale"], jnp.float32)
+        else:  # dynamic per-tensor act scale — the (N, 512) input makes
+            # the reduction negligible, but it couples rows in the batch
+            x_scale = jnp.maximum(
+                jnp.max(jnp.abs(feat)).astype(jnp.float32), 1e-12) / 127.0
         qh = jnp.clip(jnp.round(feat.astype(jnp.float32) / x_scale),
                       -127, 127).astype(jnp.int8)
         acc = lax.dot_general(

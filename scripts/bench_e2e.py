@@ -135,6 +135,9 @@ def main():
                     "from N batches of this dataset")
     ap.add_argument("--quantize_heads", action="store_true",
                     help="with --quantize: int8 fc_feat head matmul")
+    ap.add_argument("--no_frame_dedup", action="store_true",
+                    help="device stage: force the tuple epoch scan instead "
+                    "of the default frame-dedup epoch")
     ap.add_argument("--fuse_requant", action="store_true",
                     help="with --quantize + --calibrate: int8 dataflow "
                     "(the bench.py headline configuration)")
@@ -273,17 +276,26 @@ def main():
     #    transfer (the epoch-2 wall on this rig: ~60 MB/s tunnel)
     #    disappears. Second call reuses the returned buffer.
     if "device" in stages:
+        dd = False if args.no_frame_dedup else None
         res_d = evaluate(model, state, ds_c, batch_size=args.batch,
                          preprocess=preprocess, progress=False,
-                         num_workers=args.workers, device_cache=True, **qkw)
+                         num_workers=args.workers, device_cache=True,
+                         dedup_frames=dd, **qkw)
         res_d2 = evaluate(model, state, ds_c, batch_size=args.batch,
                           preprocess=preprocess, progress=False,
                           num_workers=args.workers,
-                          device_cache=res_d["device_frames"], **qkw)
+                          device_cache=res_d["device_frames"],
+                          dedup_frames=dd, **qkw)
+        n_eval = len(ds_c) * config.steps
         print(json.dumps({"stage": "e2e_device_cached",
+                          # task rate: EVALUATED tuple-images / wall;
+                          # frames_computed shows the dedup'd forward count
                           "images_per_sec": round(
                               res_d2["images_per_sec"], 1),
-                          "mode": mode,
+                          "mode": mode + (
+                              "" if args.no_frame_dedup else "_dedup"),
+                          "images_evaluated": n_eval,
+                          "frames_computed": res_d2["frames_computed"],
                           "batches_per_epoch":
                           -(-len(ds_c) // args.batch),
                           "upload_secs": round(res_d["upload_secs"], 1),

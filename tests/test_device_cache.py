@@ -294,6 +294,97 @@ class TestDeviceCachedEval:
         np.testing.assert_array_equal(dp["targ_poses"], one["targ_poses"])
 
 
+@pytest.mark.slow
+class TestFrameDedup:
+    """dedup_frames: the device-cache epoch computes each UNIQUE frame's
+    forward once (tuples share frames (steps-1)*skip apart) and gathers
+    per-tuple poses from the pose table — EXACTLY the tuple scan's output
+    on every path (the dedup'd indices ride the same (kf, B, T) grid
+    program; per-frame slots are independent data-parallel lanes)."""
+
+    def _val(self, n=24):
+        return MF(SyntheticScene(n_frames=n, height=32, width=48,
+                                 train=False), steps=3, skip=2)
+
+    def test_exact_vs_tuple_scan(self, mapnet_state):
+        model, state = mapnet_state
+        val = self._val()
+        dd = evaluate(model, state, val, batch_size=8, progress=False,
+                      device_cache=True, use_mesh=False, dedup_frames=True)
+        ts = evaluate(model, state, val, batch_size=8, progress=False,
+                      device_cache=True, use_mesh=False, dedup_frames=False)
+        np.testing.assert_array_equal(dd["pred_poses"], ts["pred_poses"])
+        np.testing.assert_array_equal(dd["targ_poses"], ts["targ_poses"])
+        # 24 unique frames vs 3 batches x 24 tuple slots
+        assert dd["frames_computed"] == 24
+        assert ts["frames_computed"] == 24 * 3
+
+    def test_exact_meshed(self, mapnet_state):
+        model, state = mapnet_state
+        val = self._val()
+        dd = evaluate(model, state, val, batch_size=8, progress=False,
+                      device_cache=True, dedup_frames=True)
+        ts = evaluate(model, state, val, batch_size=8, progress=False,
+                      device_cache=True, dedup_frames=False)
+        np.testing.assert_array_equal(dd["pred_poses"], ts["pred_poses"])
+
+    def test_exact_quant_fused_prequant(self, mapnet_state):
+        """int8+fused dedup must be EXACT too. This is why the dedup'd
+        indices ride the same (kf, B, T) grid program as the tuple scan: a
+        structurally different scan (flat indices, separate emit) was
+        measured to flip requant roundings that AMPLIFY through the int8
+        trunk (0.11 at the output) — identical program structure keeps
+        every rounding decision identical."""
+        model, state = mapnet_state
+        val = self._val()
+        kw = dict(batch_size=8, progress=False, quantize=True,
+                  calib_batches=1, quantize_heads=True, fuse_requant=True,
+                  device_cache=True, use_mesh=False)
+        dd = evaluate(model, state, val, dedup_frames=True, **kw)
+        ts = evaluate(model, state, val, dedup_frames=False, **kw)
+        np.testing.assert_array_equal(dd["pred_poses"], ts["pred_poses"])
+
+    def test_exact_sharded_cache(self, mapnet_state):
+        model, state = mapnet_state
+        val = self._val()
+        kw = dict(batch_size=8, progress=False, device_cache="shard")
+        dd = evaluate(model, state, val, dedup_frames=True, **kw)
+        ts = evaluate(model, state, val, dedup_frames=False, **kw)
+        np.testing.assert_array_equal(dd["pred_poses"], ts["pred_poses"])
+
+    def test_exact_with_pgo(self, mapnet_state):
+        from geomapnet_tpu.data import vos_logq_np
+
+        model, state = mapnet_state
+        val = MF(SyntheticScene(n_frames=16, height=32, width=48,
+                                train=False), steps=3, skip=2,
+                 include_vos=True, vo_func=vos_logq_np)
+        kw = dict(batch_size=8, pose_graph=True, progress=False,
+                  device_cache=True, use_mesh=False)
+        dd = evaluate(model, state, val, dedup_frames=True, **kw)
+        ts = evaluate(model, state, val, dedup_frames=False, **kw)
+        np.testing.assert_array_equal(dd["pred_poses"], ts["pred_poses"])
+
+    def test_stochastic_rejected_and_auto_off(self, mapnet_state):
+        model, state = mapnet_state
+        # droprate=0 model still exercises the gating (stochastic flag alone)
+        val = self._val(16)
+        with pytest.raises(ValueError, match="dedup"):
+            evaluate(model, state, val, batch_size=8, progress=False,
+                     device_cache=True, use_mesh=False, stochastic=True,
+                     dedup_frames=True)
+        # auto mode silently falls back to the tuple scan
+        r = evaluate(model, state, val, batch_size=8, progress=False,
+                     device_cache=True, use_mesh=False, stochastic=True)
+        assert r["frames_computed"] == 16 * 3
+        # dynamic-scale int8 couples rows through the batch absmax:
+        # forcing dedup must refuse, auto must fall back
+        with pytest.raises(ValueError, match="dynamic"):
+            evaluate(model, state, val, batch_size=8, progress=False,
+                     device_cache=True, use_mesh=False, quantize=True,
+                     dedup_frames=True)
+
+
 class TestAutoShardSelection:
     """upload_dataset_frames(shard_frames='auto'): replicate while the
     stack fits one max_bytes budget (cheaper local gathers), shard when it

@@ -289,6 +289,31 @@ class TestStaticCalibration:
         # the original tree is not mutated
         assert all("x_scale" not in s for s in _iter_sites(q))
 
+    def test_calibrated_int8_head_is_batch_independent(self, float_model):
+        """With --calibrate + --quantize_heads the fc_feat activation scale
+        is STATIC (baked at calibration like every conv site), so a frame's
+        pose no longer depends on its batchmates. The dynamic per-tensor
+        head absmax coupled rows in the batch, which (a) paid a full-batch
+        reduction per launch and (b) broke bit-equality between
+        differently-batched epochs — the frame-dedup eval scan vs the tuple
+        scan disagreed by amplified requant flips until this."""
+        _, variables = float_model
+        q = quantize_posenet_variables(variables, stage_sizes=STAGES,
+                                       quantize_heads=True)
+        x = jax.random.normal(jax.random.PRNGKey(11), (6, 64, 96, 3))
+        qc = calibrate_activation_scales(q, [x[:2]], dtype=jnp.float32)
+        assert "x_scale" in qc["heads"]["fc_feat"]
+        full = np.asarray(posenet_apply_int8(qc, x, dtype=jnp.float32))
+        # same frames, different batch composition/order
+        perm = np.array([5, 2, 0, 4, 1, 3])
+        shuffled = np.asarray(
+            posenet_apply_int8(qc, x[perm], dtype=jnp.float32))
+        np.testing.assert_array_equal(full[perm], shuffled)
+        # the UNcalibrated tree keeps the dynamic head scale (and the
+        # coupling): the original serving contract for --quantize without
+        # --calibrate is unchanged
+        assert "x_scale" not in q["heads"]["fc_feat"]
+
     def test_static_matches_dynamic_on_calib_data(self, float_model):
         """On the calibration data itself, static absmax scales equal the
         dynamic per-batch scales, so outputs agree almost exactly."""

@@ -412,14 +412,14 @@ def _evaluate(
         # over deduplicated cache indices — and the (S, T) tuple structure
         # is a host-side gather of the tiny (U, d) pose table. The dedup'd
         # indices are arranged in the SAME (kf, B, T) grid the tuple scan
-        # consumes, so the scanned program is structurally IDENTICAL (only
-        # the trip count differs) and the per-frame values are BIT-exact —
-        # including the int8 fused path, where a structurally different
-        # program was measured to flip requant roundings that amplify
-        # through the trunk (tests/test_device_cache.py::TestFrameDedup
-        # pins exact equality on every path). Up to T x less device work;
-        # auto-enabled whenever it saves scanned batches; dedup_frames=False
-        # forces the tuple scan.
+        # consumes — the scanned program is structurally IDENTICAL (only
+        # the trip count differs), reusing its compiled wrapper — and the
+        # per-frame values are BIT-exact on every path incl. int8 fused
+        # (tests/test_device_cache.py::TestFrameDedup; requires the
+        # calibrated STATIC head scale below — a dynamic batch-absmax
+        # anywhere couples a frame's pose to its batchmates). Up to T x
+        # less device work; auto-enabled whenever it saves scanned
+        # batches; dedup_frames=False forces the tuple scan.
         # dynamic-scale int8 (--quantize without --calibrate) quantizes each
         # site at the BATCH's absmax, so a frame's pose depends on its
         # batchmates — regrouping into the dedup grid would genuinely

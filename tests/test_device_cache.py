@@ -329,12 +329,14 @@ class TestFrameDedup:
         np.testing.assert_array_equal(dd["pred_poses"], ts["pred_poses"])
 
     def test_exact_quant_fused_prequant(self, mapnet_state):
-        """int8+fused dedup must be EXACT too. This is why the dedup'd
-        indices ride the same (kf, B, T) grid program as the tuple scan: a
-        structurally different scan (flat indices, separate emit) was
-        measured to flip requant roundings that AMPLIFY through the int8
-        trunk (0.11 at the output) — identical program structure keeps
-        every rounding decision identical."""
+        """int8+fused dedup must be EXACT too. Historically it disagreed by
+        up to 0.11 at the output; the root cause was the int8 fc_feat
+        head's DYNAMIC per-tensor activation scale (batch absmax coupled a
+        frame's pose to its batchmates). Calibration now bakes the head
+        scale statically, and per-frame outputs are bit-identical across
+        batch compositions and even structurally different scan programs
+        (probe-verified); the dedup grid rides the tuple scan's program
+        anyway so exactness holds by construction."""
         model, state = mapnet_state
         val = self._val()
         kw = dict(batch_size=8, progress=False, quantize=True,

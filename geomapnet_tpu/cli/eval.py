@@ -444,6 +444,22 @@ def _evaluate(
                     [uniq, np.full(kf * nb_flat - len(uniq), uniq[-1])]
                 ).reshape(kf, batch_size, steps).astype(np.int32)
         dedup = fidx is not None
+        # SLICE fast path for the dedup epoch: a full-scene eval's unique
+        # frame indices form ONE contiguous range (np.unique sorts), and on
+        # hardware the gather OP — not the access pattern — costs ~10% of
+        # the epoch (PERF.md r5 ladder: random gather 16.2k ≈ sequential
+        # gather 16.2k, dynamic_slice 18.0k img/s). So consecutive indices
+        # swap the scanned gather for a dynamic_slice on the frame axis:
+        # windows step nb_flat and the LAST window shifts back to stay in
+        # range, recomputing the overlap — per-frame outputs are
+        # bit-identical across batch positions (the dedup contract), so the
+        # host table takes the last occurrence. Meshed/sharded caches keep
+        # the gather (their batch axis is sharded; a replicated slice would
+        # immediately reshard).
+        dedup_slice = (
+            dedup and mesh is None and not cache_sharded
+            and len(uniq) >= nb_flat
+            and int(uniq[-1]) - int(uniq[0]) == len(uniq) - 1)
 
         if progress:
             print(f"eval: scanning {n_batches} batches in one launch"
@@ -451,7 +467,7 @@ def _evaluate(
         scan_key = (
             id(model), id(preprocess), bool(quantize), bool(fold_bn),
             bool(quantize_heads), bool(fuse_requant), bool(stochastic),
-            is_tuple, fold_T, cache_sharded, prequant,
+            is_tuple, fold_T, cache_sharded, prequant, dedup_slice,
             None if mesh is None else tuple(mesh.devices.flat),
         )
         with _SCAN_CACHE_LOCK:
@@ -462,6 +478,26 @@ def _evaluate(
                 _SCAN_CACHE[scan_key] = _SCAN_CACHE.pop(scan_key)
         if cached is not None:
             scan_jit = cached[0]
+        elif dedup_slice:
+
+            def epoch_slice(state_, buf_, starts, rngs):
+                def body(carry, xs):
+                    s, _rng = xs
+                    rows = jax.lax.dynamic_slice_in_dim(buf_, s, nb_flat)
+                    if prequant:
+                        rows = rows.reshape((nb_flat,) + frame_shape)
+                    _, out = step_core(state_, rows, None, None)
+                    return carry, (out if out.ndim == 3
+                                   else out[:, None, :])
+
+                _, outs = jax.lax.scan(body, 0, (starts, rngs))
+                return outs
+
+            scan_jit = jax.jit(epoch_slice)
+            with _SCAN_CACHE_LOCK:
+                while len(_SCAN_CACHE) >= _SCAN_CACHE_MAX:
+                    _SCAN_CACHE.pop(next(iter(_SCAN_CACHE)))
+                _SCAN_CACHE[scan_key] = (scan_jit, model, preprocess)
         else:
             sh_gather = make_sharded_gather(mesh) if cache_sharded else None
 
@@ -513,7 +549,16 @@ def _evaluate(
                 while len(_SCAN_CACHE) >= _SCAN_CACHE_MAX:
                     _SCAN_CACHE.pop(next(iter(_SCAN_CACHE)))
                 _SCAN_CACHE[scan_key] = (scan_jit, model, preprocess)
-        if dedup:
+        if dedup_slice:
+            kf = fidx.shape[0]
+            # window starts (absolute frame ids): step nb_flat, last window
+            # shifted back so every slice stays inside the unique range
+            starts = (np.minimum(np.arange(kf) * nb_flat,
+                                 len(uniq) - nb_flat)
+                      + int(uniq[0])).astype(np.int32)
+            outs = scan_jit(scan_state, frame_buf, jnp.asarray(starts),
+                            jnp.zeros((kf, 2), jnp.uint32))
+        elif dedup:
             outs = scan_jit(scan_state, frame_buf, jnp.asarray(fidx),
                             jnp.zeros((fidx.shape[0], 2), jnp.uint32))
         else:
@@ -534,7 +579,19 @@ def _evaluate(
             # per-frame pose table -> per-tuple structure via the np.unique
             # inverse map (host gather of a tiny array)
             fp = np.asarray(outs, np.float64)
-            fp = fp.reshape(-1, fp.shape[-1])[:len(uniq)]
+            fp = fp.reshape(-1, fp.shape[-1])
+            if dedup_slice:
+                # slice windows: frame uniq[r] sits at flat slot r for the
+                # non-overlap head; the shifted last window re-covers
+                # [U-nb_flat, U) — identical values, take the last copy
+                U = len(uniq)
+                head = (fidx.shape[0] - 1) * nb_flat
+                table = np.empty((U, fp.shape[-1]), fp.dtype)
+                table[:head] = fp[:head]
+                table[U - nb_flat:] = fp[head:]
+                fp = table
+            else:
+                fp = fp[:len(uniq)]
             outs_np = fp[inverse].reshape(idx_mat.shape + (fp.shape[-1],))
             if pad_rows:
                 outs_np = np.concatenate(
@@ -678,6 +735,9 @@ def _evaluate(
         # many forwards the device actually ran (pad rows included)
         result["frames_computed"] = int(
             fidx.size if dedup else idx_all.size)
+        # True when the dedup epoch ran gather-free (consecutive unique
+        # frames -> dynamic_slice windows; +11% on hardware, PERF.md r5)
+        result["dedup_slice"] = dedup_slice
     return result
 
 

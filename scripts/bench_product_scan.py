@@ -59,7 +59,11 @@ def main():
                     help="scanned batches per launch")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--batch", type=int, default=BATCH_TUPLES)
+    ap.add_argument("--only", default="",
+                    help="comma-separated variant letter prefixes to run "
+                         "(e.g. 'H,J,K'); empty = the full ladder")
     args = ap.parse_args()
+    only = [s.strip() for s in args.only.split(",") if s.strip()]
 
     from geomapnet_tpu.models.quant import (
         calibrate_activation_scales,
@@ -98,6 +102,8 @@ def main():
                + np.arange(nb)[None, :]).astype(np.int32) % N_CACHE_FRAMES
 
     def timed(fn, buf_, idx, label):
+        if only and not any(label.startswith(p) for p in only):
+            return None
         idx = jnp.asarray(idx)
         carry = jnp.zeros(())
         carry = fn(buf_, idx, carry)
@@ -122,29 +128,32 @@ def main():
 
     # B: cache in the program's preferred (AUTO) layout — the relayout the
     # per-batch gather would otherwise pay moves to ONE placement at upload
-    try:
-        from jax._src.layout import Format, Layout
+    if not only or any(p in ("B", "C") for p in only):
+        # the AUTO-layout .compile() below is expensive over the tunnel, so
+        # it only runs when B/C are requested
+        try:
+            from jax._src.layout import Format, Layout
 
-        auto = Format(Layout.AUTO)
-        compiled = jax.jit(epoch, in_shardings=(auto, None, None)).lower(
-            buf, jnp.asarray(idx_shuf), jnp.zeros(())).compile()
-        fmt = compiled.input_formats[0][0]
-        perm = tuple(int(d) for d in fmt.layout.major_to_minor)
-        inv = tuple(perm.index(i) for i in range(len(perm)))
-        buf_fmt = jax.jit(
-            lambda a: jnp.transpose(jnp.transpose(a, perm), inv)
-            .astype(jnp.uint8), out_shardings=fmt)(buf)
-        if buf_fmt.format.layout == fmt.layout:
-            jB = jax.jit(epoch, in_shardings=(fmt, None, None))
-            timed(jB, buf_fmt, idx_shuf, f"B_scan_auto_layout_{perm}")
-            timed(jB, buf_fmt, idx_seq, "C_auto_layout_contiguous_idx")
-        else:
+            auto = Format(Layout.AUTO)
+            compiled = jax.jit(epoch, in_shardings=(auto, None, None)).lower(
+                buf, jnp.asarray(idx_shuf), jnp.zeros(())).compile()
+            fmt = compiled.input_formats[0][0]
+            perm = tuple(int(d) for d in fmt.layout.major_to_minor)
+            inv = tuple(perm.index(i) for i in range(len(perm)))
+            buf_fmt = jax.jit(
+                lambda a: jnp.transpose(jnp.transpose(a, perm), inv)
+                .astype(jnp.uint8), out_shardings=fmt)(buf)
+            if buf_fmt.format.layout == fmt.layout:
+                jB = jax.jit(epoch, in_shardings=(fmt, None, None))
+                timed(jB, buf_fmt, idx_shuf, f"B_scan_auto_layout_{perm}")
+                timed(jB, buf_fmt, idx_seq, "C_auto_layout_contiguous_idx")
+            else:
+                print(json.dumps({"variant": "B_scan_auto_layout",
+                                  "skipped": f"relayout landed "
+                                  f"{buf_fmt.format.layout}"}), flush=True)
+        except Exception as e:  # pragma: no cover - API drift
             print(json.dumps({"variant": "B_scan_auto_layout",
-                              "skipped": f"relayout landed "
-                              f"{buf_fmt.format.layout}"}), flush=True)
-    except Exception as e:  # pragma: no cover - API drift
-        print(json.dumps({"variant": "B_scan_auto_layout",
-                          "skipped": repr(e)}), flush=True)
+                              "skipped": repr(e)}), flush=True)
 
     # D: no-gather control — the same scan over a FIXED folded uint8 batch
     xfix = jax.random.randint(jax.random.PRNGKey(3), (nb, H, W, 3), 0, 256,
@@ -245,6 +254,30 @@ def main():
 
     timed(jax.jit(epoch_s2d_ingraph), qbuf2d, idx_shuf,
           "I_s2d_ingraph_rearrange")
+
+    # J: H's program with the frame-dedup epoch's REAL access pattern —
+    # each row read once, in order (np.unique sorts, and a full-scene
+    # eval's unique frames are consecutive; cli/eval.py dedup branch).
+    # Isolates how much of the D-vs-H gather cost is the random
+    # permutation vs the gather op itself.
+    timed(jax.jit(epoch_s2d), sbuf2d, idx_seq, "J_s2d_sequential_idx")
+
+    # K: gather-free slice epoch — when the dedup'd indices ARE consecutive
+    # the row gather is a dynamic_slice on the frame axis (start rides the
+    # scanned per-batch offsets). Upper bound for a slice fast path.
+    def epoch_s2d_slice(buf_, starts, carry):
+        def body(c, s):
+            x = jax.lax.dynamic_slice_in_dim(buf_, s, nb).reshape(
+                nb, h2, w2, 12)
+            out = posenet_apply_int8(qtree_s2d, x, fused=True)
+            return c + jnp.sum(out.astype(jnp.float32)) * 1e-12, ()
+
+        c, _ = jax.lax.scan(body, carry, starts)
+        return c
+
+    starts = ((np.arange(args.k) * nb)
+              % max(N_CACHE_FRAMES - nb, 1)).astype(np.int32)
+    timed(jax.jit(epoch_s2d_slice), sbuf2d, starts, "K_s2d_slice_epoch")
 
 
 if __name__ == "__main__":

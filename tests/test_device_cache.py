@@ -318,6 +318,28 @@ class TestFrameDedup:
         # 24 unique frames vs 3 batches x 24 tuple slots
         assert dd["frames_computed"] == 24
         assert ts["frames_computed"] == 24 * 3
+        # consecutive unique frames + unmeshed cache -> the gather-free
+        # dynamic_slice epoch (+11% on hardware, PERF.md r5)
+        assert dd["dedup_slice"] is True
+        assert ts["dedup_slice"] is False
+
+    @pytest.mark.parametrize("n", [30, 48])
+    def test_slice_windows_exact(self, mapnet_state, n):
+        """kf > 1 slice windows: n=30 makes the LAST window overlap the
+        previous one (30 uniques, 24-frame windows -> starts [0, 6]); n=48
+        tiles exactly. Both must reproduce the tuple scan bit-for-bit
+        (the overlap recomputes frames 6..23 — identical per-frame values,
+        the host table takes the last copy)."""
+        model, state = mapnet_state
+        val = self._val(n=n)
+        dd = evaluate(model, state, val, batch_size=8, progress=False,
+                      device_cache=True, use_mesh=False, dedup_frames=True)
+        ts = evaluate(model, state, val, batch_size=8, progress=False,
+                      device_cache=True, use_mesh=False, dedup_frames=False)
+        assert dd["dedup_slice"] is True
+        assert dd["frames_computed"] == 2 * 24  # two slice windows
+        np.testing.assert_array_equal(dd["pred_poses"], ts["pred_poses"])
+        np.testing.assert_array_equal(dd["targ_poses"], ts["targ_poses"])
 
     def test_exact_meshed(self, mapnet_state):
         model, state = mapnet_state
@@ -326,6 +348,8 @@ class TestFrameDedup:
                       device_cache=True, dedup_frames=True)
         ts = evaluate(model, state, val, batch_size=8, progress=False,
                       device_cache=True, dedup_frames=False)
+        # meshed scans keep the (B, T) gather (dp-sharded batch axis)
+        assert dd["dedup_slice"] is False
         np.testing.assert_array_equal(dd["pred_poses"], ts["pred_poses"])
 
     def test_exact_quant_fused_prequant(self, mapnet_state):
@@ -344,6 +368,7 @@ class TestFrameDedup:
                   device_cache=True, use_mesh=False)
         dd = evaluate(model, state, val, dedup_frames=True, **kw)
         ts = evaluate(model, state, val, dedup_frames=False, **kw)
+        assert dd["dedup_slice"] is True  # int8 rides the slice epoch too
         np.testing.assert_array_equal(dd["pred_poses"], ts["pred_poses"])
 
     def test_exact_sharded_cache(self, mapnet_state):
@@ -352,6 +377,8 @@ class TestFrameDedup:
         kw = dict(batch_size=8, progress=False, device_cache="shard")
         dd = evaluate(model, state, val, dedup_frames=True, **kw)
         ts = evaluate(model, state, val, dedup_frames=False, **kw)
+        # sharded cache keeps the gather-grid dedup (frame axis is sharded)
+        assert dd["dedup_slice"] is False
         np.testing.assert_array_equal(dd["pred_poses"], ts["pred_poses"])
 
     def test_exact_with_pgo(self, mapnet_state):
